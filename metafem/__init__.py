@@ -1,0 +1,17 @@
+"""metafem: a TPU-native generic FEM framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference MetaFEM.jl (jxx2/MetaFEM.jl): PDE weak forms written as
+tensor-index meta-expressions are symbolically differentiated and lowered at
+trace time into batched, jit-compiled element kernels; sparse systems are
+assembled scatter-free via sort-once + segment_sum and solved by
+preconditioned matrix-free Krylov methods inside a generalized-alpha /
+Newton time loop.
+"""
+
+from . import config  # noqa: F401  (enables x64 before any jnp arrays)
+from .config import set_float_dtype, fdtype, idtype
+from .symbolics import (Bilinear, Expr, SymRef, index, indices, fn, log,
+                        ifelse, visualize)
+
+__version__ = "0.1.0"

@@ -13,5 +13,9 @@ from . import config  # noqa: F401  (enables x64 before any jnp arrays)
 from .config import set_float_dtype, fdtype, idtype
 from .symbolics import (Bilinear, Expr, SymRef, index, indices, fn, log,
                         ifelse, visualize)
+from .solver import FEM_Domain
+from .mesh.builders import make_square, make_brick, select_facets
+from .mesh.ref_geometry import construct_total_mesh, get_boundary_mesh
+from .mesh.readers import read_mesh
 
 __version__ = "0.1.0"

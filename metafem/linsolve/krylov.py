@@ -1,0 +1,467 @@
+"""Matrix-free Krylov solvers as jitted ``lax.while_loop`` iterations.
+
+The solver menu mirrors the reference's src/solver/linear_solver/
+(03_BiCGstabl.jl, 04_IDRs.jl, 05_GMRES.jl, 06_LSQR.jl, 07_CGS.jl,
+08_QMR.jl): CG, BiCGStab, BiCGStab(l), IDR(s), restarted GMRES, LSQR,
+CGS, CGS2, TFQMR.  All share the signature
+
+    solver(A: SparseMatrix, b, x0=None, tol=..., maxiter=..., pl=None)
+        -> (x, iters, normalized_residual)
+
+with ``tol`` on the normalized norm ||r|| / sqrt(n)
+(04_Time_Domain.jl:51) and ``pl`` an optional left-preconditioner
+*diagonal* (applied as diag(pl) A — Jacobi; the reference's Pl_ILU
+triangular solves are hostile to TPU and are substituted by Jacobi /
+right-scaling, see precond.py).  Small inner loops over the static s/l/
+restart parameters are Python-unrolled at trace time (masked where the
+reference uses dynamic slices) — XLA requires static shapes.
+
+Numerical note: the reference insists on f64 for Krylov robustness
+(misc/02_Global_Macros.jl:124); these run in whatever dtype the matrix
+carries — f64 by default (jax_enable_x64), f32 possible on the TPU fast
+path with Jacobi right-preconditioning absorbing most of the scale spread.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spmv import SparseMatrix
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.vdot(v, v))
+
+
+def _nn(v):
+    return _norm(v) / np.sqrt(v.shape[0])
+
+
+def _pl(pl, v):
+    return v if pl is None else pl * v
+
+
+def _prep(A: SparseMatrix, b, x0, pl):
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = _pl(pl, b - A.mv(x))
+    return x, r
+
+
+def _modify_omega(t, r):
+    """Omega angle stabilization (modify_Omega, 04_IDRs.jl:1-8)."""
+    angle = np.sqrt(2.0) / 2.0
+    tn, rn = _norm(t), _norm(r)
+    tr = jnp.vdot(t, r)
+    rho = jnp.abs(tr / jnp.where(tn * rn == 0, 1.0, tn * rn))
+    omega = tr / jnp.where(tn == 0, 1.0, tn * tn)
+    return jnp.where(rho < angle,
+                     omega * angle / jnp.where(rho == 0, 1.0, rho), omega)
+
+
+# ---------------------------------------------------------------------------
+# CG (for SPD systems; not in the reference menu but cheap to provide)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cg(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    x, r = _prep(A, b, x0, pl)
+    p = r
+    rs = jnp.vdot(r, r)
+
+    def cond(c):
+        x, r, p, rs, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, p, rs, i = c
+        Ap = _pl(pl, A.mv(p))
+        alpha = rs / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new, i + 1
+
+    x, r, _, _, iters = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+    return x, iters, _nn(r)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab / BiCGStab(l)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def bicgstab(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    x, r = _prep(A, b, x0, pl)
+    rt = r
+    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    v = p = jnp.zeros_like(b)
+
+    def cond(c):
+        x, r, p, v, rho, alpha, omega, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, p, v, rho, alpha, omega, i = c
+        rho_new = jnp.vdot(rt, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        v = _pl(pl, A.mv(p))
+        alpha = rho_new / jnp.vdot(rt, v)
+        s = r - alpha * v
+        t = _pl(pl, A.mv(s))
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        return x, r, p, v, rho_new, alpha, omega, i + 1
+
+    x, r, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, v, rho, alpha, omega, 0))
+    return x, iters, _nn(r)
+
+
+@partial(jax.jit, static_argnames=("s",))
+def bicgstabl(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
+              s: int = 2):
+    """BiCGStab(l) with l = s stages (03_BiCGstabl.jl); the minimal-residual
+    polynomial part solves the small normal equations on the Gram matrix
+    (the reference offers Gram-Schmidt and LU variants; equivalent in exact
+    arithmetic at small l)."""
+    l = s
+    x, r0 = _prep(A, b, x0, pl)
+    rt = r0
+    u0 = jnp.zeros_like(b)
+    rho0 = jnp.asarray(1.0, b.dtype)
+    alpha = jnp.asarray(0.0, b.dtype)
+    omega = jnp.asarray(1.0, b.dtype)
+
+    def cond(c):
+        x, r0, u0, rho0, alpha, omega, i = c
+        return (_nn(r0) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r0, u0, rho0, alpha, omega, i = c
+        rho0 = -omega * rho0
+        rs = [r0] + [jnp.zeros_like(b) for _ in range(l)]
+        us = [u0] + [jnp.zeros_like(b) for _ in range(l)]
+        for j in range(l):  # BiCG part
+            rho1 = jnp.vdot(rt, rs[j])
+            beta = alpha * rho1 / rho0
+            rho0 = rho1
+            for k in range(j + 1):
+                us[k] = rs[k] - beta * us[k]
+            us[j + 1] = _pl(pl, A.mv(us[j]))
+            gamma = jnp.vdot(rt, us[j + 1])
+            alpha = rho0 / gamma
+            for k in range(j + 1):
+                rs[k] = rs[k] - alpha * us[k + 1]
+            rs[j + 1] = _pl(pl, A.mv(rs[j]))
+            x = x + alpha * us[0]
+        # MR part: minimize || rs[0] - sum_j gamma_j rs[j] ||
+        Z = jnp.stack([jnp.stack([jnp.vdot(rs[i_], rs[j_])
+                                  for j_ in range(1, l + 1)])
+                       for i_ in range(1, l + 1)])
+        z0 = jnp.stack([jnp.vdot(rs[0], rs[j_]) for j_ in range(1, l + 1)])
+        gam = jnp.linalg.solve(Z, z0)
+        omega = gam[l - 1]
+        u0_, r0_, x_ = us[0], rs[0], x
+        for j in range(1, l + 1):
+            u0_ = u0_ - gam[j - 1] * us[j]
+            x_ = x_ + gam[j - 1] * rs[j - 1]
+            r0_ = r0_ - gam[j - 1] * rs[j]
+        return x_, r0_, u0_, rho0, alpha, omega, i + l
+
+    x, r0, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r0, u0, rho0, alpha, omega, 0))
+    return x, iters, _nn(r0)
+
+
+# ---------------------------------------------------------------------------
+# IDR(s) — biortho variant (04_IDRs.jl idrs!)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("s",))
+def idrs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
+         s: int = 4):
+    x, r = _prep(A, b, x0, pl)
+    n = b.shape[0]
+    key = jax.random.PRNGKey(0)
+    P = jax.random.normal(key, (s, n), dtype=b.dtype)   # shadow space rows
+    G = jnp.zeros((s, n), b.dtype)
+    U = jnp.zeros((s, n), b.dtype)
+    M = jnp.eye(s, dtype=b.dtype)
+    omega = jnp.asarray(1.0, b.dtype)
+    idx = np.arange(s)
+
+    def cond(c):
+        x, r, G, U, M, omega, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, G, U, M, omega, i = c
+        f = P @ r                                        # [s]
+        for k in range(s):
+            # solve the masked lower-triangular M[k:, k:] c = f[k:]
+            mask = jnp.asarray((idx[:, None] >= k) & (idx[None, :] >= k))
+            Mk = jnp.where(mask, M, jnp.eye(s, dtype=b.dtype))
+            Mk = jnp.where(jnp.asarray(idx[:, None] >= idx[None, :]), Mk, 0.0)
+            fk = jnp.where(jnp.asarray(idx >= k), f, 0.0)
+            cvec = jax.scipy.linalg.solve_triangular(Mk, fk, lower=True)
+            v = r - (cvec[:, None] * G).sum(0)
+            q = (cvec[:, None] * U).sum(0)
+            u_k = q + omega * v
+            g_k = _pl(pl, A.mv(u_k))
+            for i2 in range(k):  # biorthogonalize against P[:k]
+                alpha = jnp.vdot(P[i2], g_k) / M[i2, i2]
+                g_k = g_k - alpha * G[i2]
+                u_k = u_k - alpha * U[i2]
+            G = G.at[k].set(g_k)
+            U = U.at[k].set(u_k)
+            Mcol = P @ g_k                               # [s]
+            M = M.at[:, k].set(jnp.where(jnp.asarray(idx >= k), Mcol,
+                                         M[:, k]))
+            beta = f[k] / M[k, k]
+            r = r - beta * g_k
+            x = x + beta * u_k
+            f = jnp.where(jnp.asarray(idx > k), f - beta * Mcol, f)
+        # entering G_{j+1}
+        v = r
+        t = _pl(pl, A.mv(v))
+        omega = _modify_omega(t, r)
+        x = x + omega * v
+        r = r - omega * t
+        return x, r, G, U, M, omega, i + s + 1
+
+    x, r, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r, G, U, M, omega, 0))
+    return x, iters, _nn(r)
+
+
+# ---------------------------------------------------------------------------
+# restarted GMRES (05_GMRES.jl)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("s",))
+def gmres(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
+          s: int = 20):
+    restart = s
+    x, r = _prep(A, b, x0, pl)
+    n = b.shape[0]
+    del r
+
+    def cycle(x):
+        r = _pl(pl, b - A.mv(x))
+        beta = _norm(r)
+        V = jnp.zeros((restart + 1, n), b.dtype)
+        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        H = jnp.zeros((restart + 1, restart), b.dtype)
+        for j in range(restart):        # static Arnoldi, trace-unrolled
+            w = _pl(pl, A.mv(V[j]))
+            hcol = V @ w                # rows > j multiply ~zero vectors
+            mask = jnp.asarray(np.arange(restart + 1) <= j)
+            hcol = jnp.where(mask, hcol, 0.0)
+            w = w - (hcol[:, None] * V).sum(0)
+            hnorm = _norm(w)
+            H = H.at[:, j].set(hcol)
+            H = H.at[j + 1, j].set(hnorm)
+            V = V.at[j + 1].set(w / jnp.where(hnorm == 0, 1.0, hnorm))
+        e1 = jnp.zeros(restart + 1, b.dtype).at[0].set(beta)
+        # least squares via normal equations on the small Hessenberg
+        y = jnp.linalg.solve(H.T @ H + 1e-300 * jnp.eye(restart, dtype=b.dtype),
+                             H.T @ e1)
+        return x + y @ V[:restart]
+
+    def cond(c):
+        x, i = c
+        return (_nn(_pl(pl, b - A.mv(x))) > tol) & (i < maxiter)
+
+    def body(c):
+        x, i = c
+        return cycle(x), i + restart
+
+    x, iters = jax.lax.while_loop(cond, body, (x, 0))
+    r = _pl(pl, b - A.mv(x))
+    return x, iters, _nn(r)
+
+
+# ---------------------------------------------------------------------------
+# LSQR (06_LSQR.jl) — Golub-Kahan; most robust, needs A^T x
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def lsqr(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    del pl  # LSQR runs unpreconditioned (matches the reference)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    u = b - A.mv(x)
+    beta = _norm(u)
+    u = u / jnp.where(beta == 0, 1.0, beta)
+    v = A.tmv(u)
+    alpha = _norm(v)
+    v = v / jnp.where(alpha == 0, 1.0, alpha)
+    w = v
+    phibar, rhobar = beta, alpha
+
+    def cond(c):
+        x, u, v, w, alpha, beta, phibar, rhobar, i = c
+        return (phibar / np.sqrt(b.shape[0]) > tol) & (i < maxiter)
+
+    def body(c):
+        x, u, v, w, alpha, beta, phibar, rhobar, i = c
+        u = A.mv(v) - alpha * u
+        beta = _norm(u)
+        u = u / jnp.where(beta == 0, 1.0, beta)
+        v = A.tmv(u) - beta * v
+        alpha = _norm(v)
+        v = v / jnp.where(alpha == 0, 1.0, alpha)
+        rho = jnp.sqrt(rhobar ** 2 + beta ** 2)
+        c_ = rhobar / rho
+        s_ = beta / rho
+        theta = s_ * alpha
+        rhobar = -c_ * alpha
+        phi = c_ * phibar
+        phibar = s_ * phibar
+        x = x + (phi / rho) * w
+        w = v - (theta / rho) * w
+        return x, u, v, w, alpha, beta, phibar, rhobar, i + 1
+
+    x, *_, iters = jax.lax.while_loop(
+        cond, body, (x, u, v, w, alpha, beta, phibar, rhobar, 0))
+    r = b - A.mv(x)
+    return x, iters, _nn(r)
+
+
+# ---------------------------------------------------------------------------
+# CGS / CGS2 (07_CGS.jl) — recurrences mirror the reference's variants
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cgs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    x, r = _prep(A, b, x0, pl)
+    r0 = r
+    one = jnp.asarray(1.0, b.dtype)
+    u = p = jnp.zeros_like(b)
+
+    def cond(c):
+        x, r, u, p, rho, alpha, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, u, p, rho, alpha, i = c
+        rhobar = rho
+        rho = jnp.vdot(r, r0)
+        beta = rho / rhobar
+        s_ = r + beta * p
+        u = s_ + beta * (p + beta * u)
+        v = _pl(pl, A.mv(u))
+        alpha = rho / jnp.vdot(v, r0)
+        p = s_ - alpha * v
+        x = x + alpha * (p + s_)
+        r = _pl(pl, b - A.mv(x))
+        return x, r, u, p, rho, alpha, i + 1
+
+    x, r, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r, u, p, one, one, 0))
+    return x, iters, _nn(r)
+
+
+@jax.jit
+def cgs2(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    x, r = _prep(A, b, x0, pl)
+    r0 = r
+    s0 = jax.random.normal(jax.random.PRNGKey(1), b.shape, b.dtype)
+    one = jnp.asarray(1.0, b.dtype)
+    z = jnp.zeros_like(b)
+
+    def cond(c):
+        x, r, u, w, s_, scal, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, u, w, s_, (alpha, alphabar, sigma, sigmabar), i = c
+        rho = jnp.vdot(r, r0)
+        beta = (1.0 / alphabar) * rho / sigma
+        v = r + beta * u
+        rhobar = jnp.vdot(r, s0)
+        betabar = (1.0 / alpha) * rhobar / sigmabar
+        t = r + betabar * s_
+        w = t + beta * (u + betabar * w)
+        cv = _pl(pl, A.mv(w))
+        sigma = jnp.vdot(cv, r0)
+        alpha = rho / sigma
+        s_ = t - alpha * cv
+        sigmabar = jnp.vdot(cv, s0)
+        alphabar = rhobar / sigmabar
+        u = v - alphabar * cv
+        x = x + alpha * v + alphabar * s_
+        r = _pl(pl, b - A.mv(x))
+        return x, r, u, w, s_, (alpha, alphabar, sigma, sigmabar), i + 1
+
+    x, r, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r, z, z, z, (one, one, one, one), 0))
+    return x, iters, _nn(r)
+
+
+# ---------------------------------------------------------------------------
+# TFQMR (08_QMR.jl) — transpose-free QMR (Freund)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def tfqmr(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
+    """CGS-recurrence TFQMR (QMR smoothing of CGS, Freund 1993) — the same
+    variant the reference implements.  The shadow residual is randomized to
+    avoid the exact Lanczos breakdown that r0* = r0 produces on symmetric
+    systems; tau is the (slightly over-estimating) quasi-residual bound
+    used for the stop test, with the true residual returned at exit."""
+    x, r = _prep(A, b, x0, pl)
+    key = jax.random.PRNGKey(2)
+    r0 = r + 0.1 * _norm(r) * jax.random.normal(key, b.shape, b.dtype)
+    r_cgs = r
+    p = u = r
+    v = _pl(pl, A.mv(p))
+    d = jnp.zeros_like(b)
+    tau = _norm(r)
+    r_norm = tau
+    rho = jnp.vdot(r, r0)
+    theta = eta = jnp.asarray(0.0, b.dtype)
+
+    def cond(c):
+        x, r_cgs, p, u, v, d, tau, r_norm, rho, theta, eta, i = c
+        return (tau / np.sqrt(b.shape[0]) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r_cgs, p, u, v, d, tau, r_norm, rho, theta, eta, i = c
+        alpha = rho / jnp.vdot(v, r0)
+        q = u - alpha * v
+        w = u + q
+        r_cgs = r_cgs - alpha * _pl(pl, A.mv(w))
+        r_norm_old = r_norm
+        r_norm = _norm(r_cgs)
+        # two QMR-smoothed half updates
+        d = u + (theta ** 2 * eta / alpha) * d
+        theta = r_norm_old / tau
+        cf = 1.0 / jnp.sqrt(1.0 + theta ** 2)
+        tau = tau * theta * cf
+        eta = cf ** 2 * alpha
+        x = x + eta * d
+        d = q + (theta ** 2 * eta / alpha) * d
+        theta = jnp.sqrt(r_norm * r_norm_old) / tau
+        cf = 1.0 / jnp.sqrt(1.0 + theta ** 2)
+        tau = tau * theta * cf
+        eta = cf ** 2 * alpha
+        x = x + eta * d
+        rho_new = jnp.vdot(r_cgs, r0)
+        beta = rho_new / rho
+        u = r_cgs + beta * q
+        p = u + beta * (q + beta * p)
+        v = _pl(pl, A.mv(p))
+        return (x, r_cgs, p, u, v, d, tau, r_norm, rho_new, theta, eta,
+                i + 1)
+
+    x, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r_cgs, p, u, v, d, tau, r_norm, rho, theta, eta, 0))
+    r = _pl(pl, b - A.mv(x))
+    return x, iters, _nn(r)

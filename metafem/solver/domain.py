@@ -1,0 +1,324 @@
+"""FEM_Domain: the user-facing problem object.
+
+The analog of the reference's ``FEM_Domain`` / ``WorkPiece`` / ``Physics``
+(solver/01_Types.jl) and the top-level API narrative
+(docs pikachu example): declare variables, add workpieces/boundaries,
+assign weak forms, mesh, compile, then step.  Unlike the reference, all
+registries (variable attributes, definitions) are owned by the domain —
+no module globals (the reference's shared VARIABLE_ATTRIBUTES breaks
+multi-domain use, symbolics/01_Types.jl:1).
+
+Typical flow (mirrors docs/src/examples/src/pikachu/pikachu.jl:8-117):
+
+    dom = FEM_Domain(dim=2)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    i = mf.index("i")
+    wp = dom.add_workpiece(geo_mesh)
+    bg = dom.add_boundary(wp, facet_ids)
+    dom.assign_workpiece_weakform(wp, -k * Bilinear(T.d(i), T.d(i)) + ...)
+    dom.assign_boundary_weakform(wp, bg, ...)
+    dom.initialize_local_assembly()
+    dom.mesh_classical(itp_order=2, itg_order=5)
+    dom.compile()
+    dom.update_one_step()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements.discretization import (ClassicalDiscretization,
+                                       initialize_classical_element)
+from ..mesh.fem_mesh import WPMesh, build_wp_mesh
+from ..mesh.ref_geometry import GeoMesh
+from ..symbolics.api import Expr, SymRef, as_term
+from ..symbolics.ir import GroundTerm
+from ..symbolics.registry import (EXTERNAL_VAR, INTERNAL_VAR,
+                                  VariableRegistry)
+from ..symbolics.tensor_table import TensorTable
+from ..symbolics.weakform import BilinearForm, build_weakform
+from .. import linsolve
+from ..linsolve import SparseMatrix, iterative_solve
+from .assembly import CompiledWP, make_updaters
+from .geometry import update_element_geometry, update_facet_geometry
+from .global_assembly import (GlobalPattern, assemble_x, build_global_pattern,
+                              dessemble_x)
+from .local_assembly import LocalAssembly, initialize_local_assembly
+from .time_domain import (GeneralAlpha, initialize_dx, normalized_norm,
+                          update_dx, x_star_of)
+
+_COORD_NAMES = ("x", "y", "z")
+
+
+@dataclasses.dataclass
+class WorkPiece:
+    geo: GeoMesh
+    boundary_facets: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+    domain_forms: List[BilinearForm] = dataclasses.field(default_factory=list)
+    boundary_forms: Dict[int, List[BilinearForm]] = dataclasses.field(
+        default_factory=dict)
+    extra_vars: List[str] = dataclasses.field(default_factory=list)
+    local_assembly: Optional[LocalAssembly] = None
+    disc: Optional[ClassicalDiscretization] = None
+    mesh: Optional[WPMesh] = None
+    #: boundary group id -> [(eindex, facet positions within group)]
+    bdy_parts: Dict[int, List[Tuple[int, np.ndarray]]] = dataclasses.field(
+        default_factory=dict)
+
+
+class FEM_Domain:
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.registry = VariableRegistry()
+        self.tensor_table = TensorTable(dim, self.registry)
+        self.workpieces: List[WorkPiece] = []
+        self.global_vars: Dict[str, float] = {}
+        self.functions: Dict[str, Callable] = {}
+        self.time_discretization = GeneralAlpha()
+        self.converge_tol: float = 1e-6
+        self.t: float = 0.0
+        self.dt: float = 1.0
+        self.linear_solver: Optional[Callable] = None  # (A, b) -> x
+        # runtime
+        self.pattern: Optional[GlobalPattern] = None
+        self.x: Optional[jnp.ndarray] = None           # [L+1, bfs]
+        self.dx: Optional[jnp.ndarray] = None
+        self.state: Optional[dict] = None
+        self._k_linear = None
+        self._res_k = None
+        self._compiled_wps: List[CompiledWP] = []
+
+    # ------------------------------------------------------------------
+    # variable declaration (the @Sym / @External_Sym / @Def analogs)
+    # ------------------------------------------------------------------
+    def internal_var(self, name: str, *extra_attrs: str) -> SymRef:
+        self.registry.declare(name, INTERNAL_VAR, *extra_attrs)
+        return SymRef(name, self.registry)
+
+    def external_var(self, name: str, *attrs: str) -> SymRef:
+        self.registry.declare(name, EXTERNAL_VAR, *attrs)
+        return SymRef(name, self.registry)
+
+    def sym(self, name: str) -> SymRef:
+        return SymRef(name, self.registry)
+
+    def define(self, name: str, free_ids: Sequence[str], expr) -> SymRef:
+        """The @Def analog: record a named definition (possibly tensorial
+        with the given free indices)."""
+        self.tensor_table.define(name, list(free_ids), as_term(expr))
+        return SymRef(name, self.registry)
+
+    def register_function(self, name: str, fn: Callable) -> None:
+        """User callbacks referenced by name in weak forms (the analog of
+        Main.$op dispatch, symbolics/08_Tensor.jl:210)."""
+        self.functions[name] = fn
+
+    # ------------------------------------------------------------------
+    # geometry / physics wiring
+    # ------------------------------------------------------------------
+    def add_workpiece(self, geo: GeoMesh) -> int:
+        if geo.dim != self.dim:
+            raise ValueError("workpiece dimension mismatch")
+        self.workpieces.append(WorkPiece(geo=geo))
+        return len(self.workpieces) - 1
+
+    def add_boundary(self, wp_id: int, facet_ids) -> int:
+        wp = self.workpieces[wp_id]
+        bg_id = len(wp.boundary_facets)
+        wp.boundary_facets[bg_id] = np.asarray(facet_ids, dtype=np.int64)
+        return bg_id
+
+    def assign_workpiece_weakform(self, wp_id: int, expr) -> None:
+        term = as_term(expr if not isinstance(expr, Expr) else expr)
+        self.workpieces[wp_id].domain_forms = build_weakform(
+            self.tensor_table, term)
+
+    def assign_boundary_weakform(self, wp_id: int, bg_id: int, expr) -> None:
+        term = as_term(expr)
+        self.workpieces[wp_id].boundary_forms[bg_id] = build_weakform(
+            self.tensor_table, term)
+
+    # ------------------------------------------------------------------
+    # compilation pipeline
+    # ------------------------------------------------------------------
+    def initialize_local_assembly(self,
+                                  explicit_max_sd_order: int = 9) -> None:
+        for wp in self.workpieces:
+            wp.local_assembly = initialize_local_assembly(
+                self.tensor_table, wp.domain_forms, wp.boundary_forms,
+                extra_vars=wp.extra_vars,
+                explicit_max_sd_order=explicit_max_sd_order)
+
+    def mesh_classical(self, wp_ids: Optional[Sequence[int]] = None,
+                       itp_order: int = 1, itg_order: int = 2,
+                       itp_type: str = "Lagrange") -> None:
+        """Build element tables + runtime mesh (mesh_Classical,
+        unstructured_mesh/2_Interface.jl:7-39)."""
+        ids = range(len(self.workpieces)) if wp_ids is None else wp_ids
+        for wp_id in ids:
+            wp = self.workpieces[wp_id]
+            if wp.local_assembly is None:
+                raise RuntimeError("call initialize_local_assembly first")
+            wp.disc = initialize_classical_element(
+                self.dim, wp.geo.shape, itp_order,
+                wp.local_assembly.max_sd_order, itg_order, itp_type)
+            wp.mesh = build_wp_mesh(wp.geo, wp.disc, wp.boundary_facets)
+            # coordinate columns (built-in controlpoint vars x, y, z)
+            for d in range(self.dim):
+                wp.mesh.fields[_COORD_NAMES[d]] = wp.mesh.cp_coords[:, d]
+            # DOF columns + external controlpoint columns, zero-initialized
+            for (local_sym, _, _) in wp.local_assembly.local_innervar_infos:
+                wp.mesh.field(local_sym)
+            for name in wp.local_assembly.controlpoint_extervars:
+                wp.mesh.field(name)
+            # group each boundary's facets by local face index
+            wp.bdy_parts = {}
+            for bg_id, grp_f in wp.boundary_facets.items():
+                els = wp.geo.facet_elements[grp_f, 0]
+                eis = wp.geo.facet_eindex[grp_f, 0]
+                parts = []
+                for ei in np.unique(eis):
+                    parts.append((int(ei), els[eis == ei].astype(np.int64)))
+                wp.bdy_parts[bg_id] = parts
+
+    def assemble_global_variables(self) -> None:
+        meshes = [wp.mesh for wp in self.workpieces]
+        assemblies = [wp.local_assembly for wp in self.workpieces]
+        self.pattern = build_global_pattern(meshes, assemblies)
+        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern))
+        self.dx = jnp.zeros_like(self.x)
+
+    def compile(self) -> None:
+        """Build + jit the two updaters (compile_Updater_GPU analog)."""
+        if self.pattern is None:
+            self.assemble_global_variables()
+        self._compiled_wps = [
+            CompiledWP(disc=wp.disc, la=wp.local_assembly,
+                       info=self.pattern.wp_infos[i],
+                       bdy_parts=wp.bdy_parts)
+            for i, wp in enumerate(self.workpieces)]
+        k_linear, res_k = make_updaters(
+            self.tensor_table, self._compiled_wps, self.pattern,
+            self.global_vars, self.functions)
+        self._k_linear = jax.jit(k_linear)
+        self._res_k = jax.jit(res_k)
+        self.update_mesh()
+        if self.linear_solver is None:
+            self.linear_solver = self.make_iterative_solver()
+
+    def make_iterative_solver(self, sv_func=None, **kwargs) -> Callable:
+        sv_func = sv_func or linsolve.krylov.bicgstab
+        kwargs.setdefault("maxiter", 2000)
+        kwargs.setdefault("max_pass", 10)
+
+        def solve(A, b):
+            return iterative_solve(A, b, self.pattern.diag_pos,
+                                   converge_tol=self.converge_tol,
+                                   sv_func=sv_func, **kwargs)
+        return solve
+
+    def make_direct_solver(self) -> Callable:
+        return lambda A, b: linsolve.solver_lu(A, b)
+
+    # ------------------------------------------------------------------
+    # runtime state
+    # ------------------------------------------------------------------
+    def update_mesh(self) -> None:
+        """(Re)compute geometry tables into the runtime state pytree
+        (update_Mesh analog)."""
+        wp_states = []
+        for i, wp in enumerate(self.workpieces):
+            coords = jnp.asarray(wp.mesh.cp_coords)
+            el_cp = jnp.asarray(wp.mesh.el_cp, dtype=jnp.int32)
+            itg_vals, itg_w = update_element_geometry(coords, el_cp, wp.disc)
+            info = self.pattern.wp_infos[i]
+            pair_slot = jnp.asarray(info.pair_slot)
+            el_state = {"itg_vals": itg_vals, "weights": itg_w,
+                        "el_cp": el_cp, "pair_slot": pair_slot}
+            bdy_state: Dict[int, list] = {}
+            for bg_id, parts in wp.bdy_parts.items():
+                plist = []
+                for (ei, els) in parts:
+                    els_j = jnp.asarray(els, dtype=jnp.int32)
+                    f_vals, f_w, f_n = update_facet_geometry(
+                        coords, el_cp[els_j], wp.disc, ei)
+                    plist.append({"itg_vals": f_vals, "weights": f_w,
+                                  "normals": f_n,
+                                  "el_cp": el_cp[els_j],
+                                  "pair_slot": pair_slot[els_j]})
+                bdy_state[bg_id] = plist
+            wp_states.append({"el": el_state, "bdy": bdy_state,
+                              "fields": {}})
+        self.state = {"wp": wp_states}
+        self.refresh_fields()
+
+    def refresh_fields(self) -> None:
+        """Re-upload the named controlpoint columns (cheap; call after
+        mutating mesh fields)."""
+        for i, wp in enumerate(self.workpieces):
+            self.state["wp"][i]["fields"] = {
+                name: jnp.asarray(col)
+                for name, col in wp.mesh.fields.items()}
+
+    def set_field(self, wp_id: int, name: str, values) -> None:
+        self.workpieces[wp_id].mesh.set_field(name, values)
+
+    def _runtime_state(self) -> dict:
+        ga = self.time_discretization
+        return {**self.state,
+                "x_star": self.x,
+                "K_linear": jnp.zeros(self.pattern.nnz),
+                "t": self.t, "dt": self.dt,
+                "K_params": jnp.asarray(ga.K_params)}
+
+    # ------------------------------------------------------------------
+    # the hot loop (update_OneStep!, solver/04_Time_Domain.jl:59-80)
+    # ------------------------------------------------------------------
+    def update_one_step(self, max_iter: int = 4,
+                        verbose: bool = False) -> float:
+        ga = self.time_discretization
+        L = self.pattern.max_time_level
+        self.t += self.dt
+        ga.update_time(self.dt, L)
+        state = self._runtime_state()
+        dx = initialize_dx(self.x, self.dt, ga.gamma_params)
+        K_linear = self._k_linear(state)
+        state["K_linear"] = K_linear
+        res = np.inf
+        for counter in range(max_iter + 1):
+            state["x_star"] = x_star_of(self.x, dx, ga.alpha_params)
+            residue, K_total = self._res_k(state)
+            res = normalized_norm(residue)
+            if verbose:
+                print(f"step iteration {counter}: residue = {res:.6e}")
+            if res < self.converge_tol or counter >= max_iter:
+                break
+            K_csr = K_total[jnp.asarray(self.pattern.csr_perm)]
+            A = SparseMatrix(K_csr, jnp.asarray(self.pattern.rows_sorted),
+                             jnp.asarray(self.pattern.cols_sorted),
+                             self.pattern.basicfield_size)
+            delta_x = self.linear_solver(A, residue)
+            dx = update_dx(dx, -delta_x, ga.beta_params)
+        self.x = self.x + dx
+        self.dx = dx
+        return res
+
+    # ------------------------------------------------------------------
+    # state sync (assemble_X! / dessemble_X!)
+    # ------------------------------------------------------------------
+    def assemble_x(self) -> None:
+        meshes = [wp.mesh for wp in self.workpieces]
+        assemblies = [wp.local_assembly for wp in self.workpieces]
+        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern))
+
+    def dessemble_x(self) -> None:
+        meshes = [wp.mesh for wp in self.workpieces]
+        assemblies = [wp.local_assembly for wp in self.workpieces]
+        dessemble_x(np.asarray(self.x), meshes, assemblies, self.pattern)

@@ -53,11 +53,43 @@ def collect_bilinear_terms(tb, buffer: List[Term], t: GroundTerm) -> List[Term]:
             for bil in sub_vecs[hit_ids[0]]:
                 new_base = mul(others + [bil.subterms[1]])
                 buffer.append(bilinear_term(bil.subterms[0], new_base))
+    elif _contains_bilinear(t):
+        # e.g. Bilinear(a,b)^2 (two identical Bilinears in a product merge
+        # into a power during simplification) — never a valid weak form
+        raise ValueError(
+            f"Bilinear may only appear linearly in a weak form, found it "
+            f"under {t.op!r}: {t!r}")
     return buffer
 
 
+def _contains_bilinear(t: GroundTerm) -> bool:
+    if not isinstance(t, Term):
+        return False
+    if t.op == "Bilinear":
+        return True
+    return any(_contains_bilinear(s) for s in t.subterms)
+
+
+def _check_words_resolvable(tb, t: GroundTerm) -> None:
+    if isinstance(t, Word):
+        if not tb.registry.is_declared(t.base) and t.base not in tb.definitions:
+            raise ValueError(
+                f"variable {t.base!r} is neither declared (internal_var / "
+                f"external_var) nor defined (define)")
+    elif isinstance(t, Term):
+        for s in t.subterms:
+            _check_words_resolvable(tb, s)
+
+
 def build_weakform(tb, src: GroundTerm) -> List[BilinearForm]:
+    from .ir import free_index
     if isinstance(src, Term):
+        fset = free_index(src)
+        if fset:
+            raise ValueError(
+                f"a weak form must be a scalar; free indices {list(fset)} "
+                f"remain (did you mean a summed index?)")
+        _check_words_resolvable(tb, src)
         src = unroll_and_simplify(src, tb.dim)
     raw = collect_bilinear_terms(tb, [], src)
     db: dict = {}

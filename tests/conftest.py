@@ -1,13 +1,23 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
-multi-chip sharding path is exercised without TPU hardware."""
+multi-chip sharding path is exercised without TPU hardware.
+
+Note: the environment's sitecustomize registers the axon TPU plugin and
+imports jax at interpreter startup, so JAX_PLATFORMS in os.environ is read
+before any test code runs — the platform must be forced via
+jax.config.update instead.  Opt back into TPU with METAFEM_TEST_TPU=1.
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax  # noqa: E402
+
+if os.environ.get("METAFEM_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

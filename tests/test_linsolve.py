@@ -1,0 +1,108 @@
+"""Krylov solver tests on manufactured SPD / nonsymmetric systems."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from metafem import linsolve
+from metafem.linsolve import SparseMatrix, iterative_solve, solver_lu
+from metafem.linsolve.krylov import (bicgstab, bicgstabl, cg, cgs, cgs2,
+                                     gmres, idrs, lsqr, tfqmr)
+
+
+def _to_sparse(A: sp.spmatrix) -> SparseMatrix:
+    coo = A.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    return SparseMatrix(jnp.asarray(coo.data[order]),
+                        jnp.asarray(coo.row[order].astype(np.int32)),
+                        jnp.asarray(coo.col[order].astype(np.int32)),
+                        A.shape[0])
+
+
+def _laplace_1d(n):
+    return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+
+
+def _nonsym(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = _laplace_1d(n).tolil()
+    # convection-like skew part destroys symmetry
+    for i in range(n - 1):
+        A[i, i + 1] += 0.5
+    A += sp.diags(rng.uniform(0.1, 0.5, n))
+    return A.tocsr()
+
+
+class TestSpMV:
+    def test_mv_tmv(self):
+        A = _nonsym(50)
+        As = _to_sparse(A)
+        x = np.random.default_rng(1).normal(size=50)
+        np.testing.assert_allclose(np.asarray(As.mv(jnp.asarray(x))),
+                                   A @ x, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(As.tmv(jnp.asarray(x))),
+                                   A.T @ x, rtol=1e-12)
+
+
+SOLVERS_SPD = [cg, bicgstab, bicgstabl, idrs, gmres, lsqr, cgs, cgs2, tfqmr]
+SOLVERS_NONSYM = [bicgstab, bicgstabl, idrs, gmres, lsqr, cgs, cgs2, tfqmr]
+
+
+class TestKrylov:
+    @pytest.mark.parametrize("solver", SOLVERS_SPD,
+                             ids=[s.__name__ for s in SOLVERS_SPD])
+    def test_spd(self, solver):
+        n = 64
+        A = _laplace_1d(n)
+        x_true = np.sin(np.linspace(0, 3, n))
+        b = jnp.asarray(A @ x_true)
+        x, iters, res = solver(_to_sparse(A), b, tol=1e-10, maxiter=5000)
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+
+    @pytest.mark.parametrize("solver", SOLVERS_NONSYM,
+                             ids=[s.__name__ for s in SOLVERS_NONSYM])
+    def test_nonsymmetric(self, solver):
+        n = 64
+        A = _nonsym(n)
+        x_true = np.cos(np.linspace(0, 5, n))
+        b = jnp.asarray(A @ x_true)
+        x, iters, res = solver(_to_sparse(A), b, tol=1e-10, maxiter=5000)
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-5)
+
+    def test_left_jacobi(self):
+        n = 64
+        A = _nonsym(n) @ sp.diags(np.linspace(1, 100, n))
+        x_true = np.ones(n)
+        b = jnp.asarray(A @ x_true)
+        As = _to_sparse(A)
+        pl = 1.0 / jnp.asarray(np.abs(A.diagonal()))
+        x, iters, res = bicgstab(As, b, tol=1e-11, maxiter=5000, pl=pl)
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-5)
+
+
+class TestDriver:
+    def test_iterative_solve_with_pr_jacobi(self):
+        n = 100
+        # badly column-scaled system: right Jacobi fixes it
+        A = (_nonsym(n) @ sp.diags(np.logspace(0, 4, n))).tocsr()
+        x_true = np.random.default_rng(2).normal(size=n)
+        b = jnp.asarray(A @ x_true)
+        As = _to_sparse(A)
+        rows = np.asarray(As.rows)
+        cols = np.asarray(As.cols)
+        diag_pos = np.full(n, -1, dtype=np.int64)
+        hits = rows == cols
+        diag_pos[rows[hits]] = np.nonzero(hits)[0]
+        x = iterative_solve(As, b, diag_pos, converge_tol=1e-12,
+                            sv_func=linsolve.krylov.bicgstab,
+                            max_pass=10, maxiter=2000)
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6)
+
+    def test_direct_lu(self):
+        n = 50
+        A = _nonsym(n)
+        x_true = np.random.default_rng(3).normal(size=n)
+        b = jnp.asarray(A @ x_true)
+        x = solver_lu(_to_sparse(A), b)
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-10)

@@ -1,0 +1,32 @@
+"""Lid-driven cavity: mixed u-p fields, SUPG stabilization with
+user-updated tau fields, nonlinear convection — vs Ghia et al. data."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "examples"))
+import cavity_2d  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(cavity_2d.GHIA_DIR),
+    reason="Ghia reference data not available")
+
+
+class TestCavity:
+    def test_re100_vs_ghia(self):
+        dom, geo, wp, params = cavity_2d.build(e_number=16)
+        la = dom.workpieces[wp].local_assembly
+        assert la.basic_vars == ["p", "u1", "u2"]
+        # convection makes every velocity gradient nonlinear
+        assert len(la.assembled_weakform.nonlinear_gradients) > 0
+        u_st = cavity_2d.run_re(dom, wp, 100, params)
+        ys, us = cavity_2d.centerline_u(dom, wp, u_st, params)
+        gy, gu = cavity_2d.ghia(100)
+        ui = np.interp(gy, ys, us)
+        assert np.abs(ui - gu).max() < 0.02
+        # incompressibility: no runaway pressure
+        assert np.isfinite(dom.workpieces[wp].mesh.fields["p"]).all()

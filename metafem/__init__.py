@@ -12,7 +12,7 @@ Newton time loop.
 from . import config  # noqa: F401  (enables x64 before any jnp arrays)
 from .config import set_float_dtype, fdtype, idtype
 from .symbolics import (Bilinear, Expr, SymRef, index, indices, fn, log,
-                        ifelse, visualize)
+                        ifelse, d, visualize)
 from .solver import FEM_Domain
 from .mesh.builders import make_square, make_brick, select_facets
 from .mesh.ref_geometry import construct_total_mesh, get_boundary_mesh

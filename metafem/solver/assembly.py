@@ -56,7 +56,7 @@ def _segment_sum(data, ids, num):
 def _build_env(tb: TensorTable, wp_state: dict, part_state: dict,
                cw: CompiledWP, inner_infos: List[InnervarInfo],
                exter_infos: List[ExtervarInfo], x_star, t, dt,
-               global_vars: Dict[str, float], is_boundary: bool) -> dict:
+               global_vars: dict, is_boundary: bool) -> dict:
     """Gather quadrature-point values for every referenced variable — the
     analog of declare_Innervar_GPU / declare_Extervar_GPU
     (solver/05_CodeGenerator.jl:1-50)."""
@@ -80,8 +80,15 @@ def _build_env(tb: TensorTable, wp_state: dict, part_state: dict,
                 env[sym] = t
             elif base == "dt":
                 env[sym] = dt
-            else:
+            elif sym in global_vars:
+                # traced from the state pytree: runtime-changeable without
+                # recompilation (the reference reads physics.global_vars at
+                # run time, 05_CodeGenerator.jl:26)
                 env[sym] = global_vars[sym]
+            else:
+                raise KeyError(
+                    f"global variable {sym!r} has no value; set "
+                    f"domain.global_vars[{sym!r}] before compile()")
         elif CONTROLPOINT_VAR in attrs:
             if len(sd_ids) > la.max_sd_order:
                 env[sym] = 0.0
@@ -159,7 +166,6 @@ def _assemble_part(tb: TensorTable, cw: CompiledWP, part_state: dict,
 
 def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                   pattern: GlobalPattern,
-                  global_vars: Dict[str, float],
                   functions: Dict[str, object]):
     """Build (k_linear, res_k_nonlinear) as jittable pure functions of the
     runtime ``state`` pytree."""
@@ -170,6 +176,7 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
         residue = jnp.zeros(bfs)
         x_star = state["x_star"]
         t, dt, K_params = state["t"], state["dt"], state["K_params"]
+        global_vars = state.get("global_vars", {})
         for w_i, cw in enumerate(compiled_wps):
             wp_state = state["wp"][w_i]
             la, info = cw.la, cw.info

@@ -206,7 +206,7 @@ class FEM_Domain:
             for i, wp in enumerate(self.workpieces)]
         k_linear, res_k = make_updaters(
             self.tensor_table, self._compiled_wps, self.pattern,
-            self.global_vars, self.functions)
+            self.functions)
         self._k_linear = jax.jit(k_linear)
         self._res_k = jax.jit(res_k)
         self.update_mesh()
@@ -276,7 +276,10 @@ class FEM_Domain:
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.nnz),
                 "t": self.t, "dt": self.dt,
-                "K_params": jnp.asarray(ga.K_params)}
+                "K_params": jnp.asarray(ga.K_params),
+                # traced scalars: changeable between steps w/o recompile
+                "global_vars": {k: float(v)
+                                for k, v in self.global_vars.items()}}
 
     # ------------------------------------------------------------------
     # the hot loop (update_OneStep!, solver/04_Time_Domain.jl:59-80)

@@ -47,6 +47,6 @@ from .diff import (
 )
 from .weakform import build_weakform, BilinearForm
 from .api import (Expr, SymRef, index, indices, Bilinear, fn, log, ifelse,
-                  as_term, word_to_sym, word_total_sym, word_local_sym,
+                  d, as_term, word_to_sym, word_total_sym, word_local_sym,
                   word_base_sym)
 from .visualize import visualize

@@ -161,6 +161,18 @@ def fn(name: str, *args: ExprLike) -> Expr:
     return Expr(call(name, *[as_term(a) for a in args]))
 
 
+def d(expr: ExprLike, wrt: ExprLike) -> Expr:
+    """Named symbolic derivative d(expr, word), e.g. the first
+    Piola-Kirchhoff stress P{i,j} = d(W, F{i,j}) — materialized lazily as a
+    derivative tensor (the analog of get_TensorDiff!,
+    symbolics/08_Tensor.jl:94-118)."""
+    wrt_term = as_term(wrt)
+    if not isinstance(wrt_term, Word):
+        raise ValueError("d(expr, wrt): wrt must be a single indexed "
+                         "variable, e.g. F[i, j]")
+    return Expr(call("d", as_term(expr), wrt_term))
+
+
 def log(x: ExprLike) -> Expr:
     return fn("log", x)
 

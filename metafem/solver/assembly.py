@@ -196,7 +196,8 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                 env = _build_env(tb, wp_state, part_state, cw, inner_infos,
                                  exter_infos, x_star, t, dt, global_vars,
                                  is_boundary)
-                ctx = LoweringContext(tb, env, functions)
+                ctx = LoweringContext(tb, env, functions,
+                                      user_state=state.get("user"))
                 res_out, chunks = _assemble_part(
                     tb, cw, part_state, res_bils, grad_bils, ctx, K_params)
                 if res_out is not None:

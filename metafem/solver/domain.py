@@ -81,6 +81,9 @@ class FEM_Domain:
         self.workpieces: List[WorkPiece] = []
         self.global_vars: Dict[str, float] = {}
         self.functions: Dict[str, Callable] = {}
+        #: arbitrary user pytree (e.g. plasticity history per quad point),
+        #: passed to registered callbacks declaring a ``user`` parameter
+        self.user_state: dict = {}
         self.time_discretization = GeneralAlpha()
         self.converge_tol: float = 1e-6
         self.t: float = 0.0
@@ -111,8 +114,14 @@ class FEM_Domain:
 
     def define(self, name: str, free_ids: Sequence[str], expr) -> SymRef:
         """The @Def analog: record a named definition (possibly tensorial
-        with the given free indices)."""
-        self.tensor_table.define(name, list(free_ids), as_term(expr))
+        with the given free indices).  For a declared integration-point
+        variable the RHS is a user function returning all components at
+        once, so the free-index check is skipped."""
+        from ..symbolics.registry import INTEGRATION_POINT_VAR
+        if INTEGRATION_POINT_VAR in self.registry.attributes(name):
+            self.tensor_table.define_raw(name, list(free_ids), as_term(expr))
+        else:
+            self.tensor_table.define(name, list(free_ids), as_term(expr))
         return SymRef(name, self.registry)
 
     def register_function(self, name: str, fn: Callable) -> None:
@@ -279,7 +288,9 @@ class FEM_Domain:
                 "K_params": jnp.asarray(ga.K_params),
                 # traced scalars: changeable between steps w/o recompile
                 "global_vars": {k: float(v)
-                                for k, v in self.global_vars.items()}}
+                                for k, v in self.global_vars.items()},
+                "user": jax.tree_util.tree_map(jnp.asarray,
+                                               self.user_state)}
 
     # ------------------------------------------------------------------
     # the hot loop (update_OneStep!, solver/04_Time_Domain.jl:59-80)
@@ -312,6 +323,44 @@ class FEM_Domain:
         self.x = self.x + dx
         self.dx = dx
         return res
+
+    # ------------------------------------------------------------------
+    # integration-point evaluation (for history-variable return maps)
+    # ------------------------------------------------------------------
+    def evaluate_at_itg(self, wp_id: int, expr):
+        """Evaluate a (scalar, concrete-index) expression at the domain
+        quadrature points of a workpiece using the current solution x:
+        returns [n_el, n_itg].  This is how user code recomputes converged
+        integration-point quantities to update history state (replacing
+        the reference's in-callback mutation, J2Plasticity.jl:201-208)."""
+        from ..symbolics.ir import free_index
+        from ..symbolics.simplify import unroll_and_simplify
+        from .assembly import _build_env
+        from .local_assembly import (_extervar_info, _innervar_info,
+                                     extract_words)
+        from .lowering import LoweringContext
+
+        term = as_term(expr)
+        if free_index(term):
+            raise ValueError("evaluate_at_itg expects concrete indices")
+        term = unroll_and_simplify(term, self.dim)
+        tb = self.tensor_table
+        wp = self.workpieces[wp_id]
+        la = wp.local_assembly
+        inner, exter = extract_words(tb, term)
+        inner_infos = [_innervar_info(self.dim, w, la.bvar_mapping)
+                       for w in inner]
+        exter_infos = [_extervar_info(self.dim, w) for w in exter]
+        cw = self._compiled_wps[wp_id]
+        wp_state = self.state["wp"][wp_id]
+        env = _build_env(tb, wp_state, wp_state["el"], cw, inner_infos,
+                         exter_infos, self.x, self.t, self.dt,
+                         {k: float(v) for k, v in self.global_vars.items()},
+                         is_boundary=False)
+        ctx = LoweringContext(
+            tb, env, self.functions,
+            user_state=jax.tree_util.tree_map(jnp.asarray, self.user_state))
+        return ctx.lower(term)
 
     # ------------------------------------------------------------------
     # state sync (assemble_X! / dessemble_X!)

@@ -57,10 +57,12 @@ class LoweringContext:
     """
 
     def __init__(self, tb: TensorTable, env: Dict[str, object],
-                 functions: Dict[str, Callable] | None = None):
+                 functions: Dict[str, Callable] | None = None,
+                 user_state=None):
         self.tb = tb
         self.env = env
         self.functions = functions or {}
+        self.user_state = user_state
         self._memo: Dict[GroundTerm, object] = {}
 
     def lower(self, t: GroundTerm):
@@ -85,15 +87,12 @@ class LoweringContext:
                 f"assembly environment")
         if EXTERNAL_VAR in attrs:
             if INTEGRATION_POINT_VAR in attrs and w.base != "n":
-                # evaluate the definition at quadrature points, cache
-                ids, raw_def = self.tb.definitions[w.base]
-                from ..symbolics.ir import substitute
-                from ..symbolics.simplify import unroll_and_simplify
-                inst = substitute(unroll_and_simplify(raw_def, self.tb.dim),
-                                  list(ids), list(w.c_ids))
-                val = self.lower(self.tb.propagate_symbol(inst))
-                self.env[sym] = val
-                return val
+                if w.sd_ids or w.td:
+                    raise ValueError(
+                        f"integration-point variable {w.base!r} cannot "
+                        f"carry derivatives; use a controlpoint variable")
+                self._lower_itg_var(w)
+                return self.env[sym]
             raise KeyError(
                 f"external variable {sym!r} was not provided to the "
                 f"assembly environment")
@@ -101,6 +100,49 @@ class LoweringContext:
         val = self.lower(self.tb.propagate_symbol(self.tb.evaluate_tensor(w)))
         self.env[sym] = val
         return val
+
+    def _lower_itg_var(self, w: Word) -> None:
+        """Evaluate a user integration-point variable's definition once per
+        base symbol and populate every component's total symbol — the
+        tuple-assignment of generates_All_Related_ITG_Symbols
+        (symbolics/08_Tensor.jl:150-186).  Multi-component variables (e.g.
+        a symmetric plastic-strain tensor) are backed by a function
+        returning all Voigt components at once."""
+        from ..symbolics.api import word_to_sym
+        from ..symbolics.ir import inverse_voigt_id, substitute, voigt_size
+        from ..symbolics.simplify import unroll_and_simplify
+
+        ids, raw_def = self.tb.definitions[w.base]
+        dim = self.tb.dim
+        inst = unroll_and_simplify(raw_def, dim)
+        if ids:
+            inst = substitute(inst, list(ids), list(w.c_ids))
+        val = self.lower(self.tb.propagate_symbol(inst))
+
+        if not w.c_ids:
+            self.env[word_to_sym(dim, w.base, 0, (), ())] = val
+            return
+        symmetric = self.tb.registry.is_symmetric(w.base)
+        if len(w.c_ids) == 1:
+            n_out = dim
+            comp_ids = [(v,) for v in range(1, dim + 1)]
+        elif len(w.c_ids) == 2 and symmetric:
+            n_out = voigt_size(dim)
+            comp_ids = [inverse_voigt_id(v, dim) for v in range(1, n_out + 1)]
+        elif len(w.c_ids) == 2:
+            n_out = dim * dim
+            comp_ids = [(a, b) for a in range(1, dim + 1)
+                        for b in range(1, dim + 1)]
+        else:
+            raise ValueError("integration-point variables of rank > 2 are "
+                             "not supported")
+        if not isinstance(val, (tuple, list)) or len(val) != n_out:
+            raise ValueError(
+                f"the definition of {w.base!r} must return {n_out} "
+                f"components (got {type(val).__name__})")
+        for cid, out in zip(comp_ids, val):
+            self.env[word_to_sym(dim, w.base, 0, cid, (),
+                                 symmetric=symmetric)] = out
 
     # -- interior nodes ---------------------------------------------------
     def _lower_term(self, t: Term):
@@ -124,7 +166,17 @@ class LoweringContext:
                 return self._int_pow(b, n)
             return b ** e
         args = [self.lower(s) for s in t.subterms]
-        fn = self.functions.get(t.op) or _BUILTIN_FNS.get(t.op)
+        fn = self.functions.get(t.op)
+        if fn is not None:
+            import inspect
+            params = inspect.signature(fn).parameters
+            if "user" in params:
+                # history / material state threaded functionally through
+                # the jitted state pytree (replaces the reference's mutable
+                # MaterialState closure, J2Plasticity.jl:86-199)
+                return fn(*args, user=self.user_state)
+            return fn(*args)
+        fn = _BUILTIN_FNS.get(t.op)
         if fn is None:
             raise ValueError(f"unknown function {t.op!r} in weak form; "
                              f"register it via FEM_Domain.register_function")

@@ -50,6 +50,15 @@ class TensorTable:
         # invalidate caches built from older definitions of the same name
         self.tensors = {k: v for k, v in self.tensors.items() if k[0] != name}
 
+    def define_raw(self, name: str, free_ids: Sequence[str],
+                   term: GroundTerm) -> None:
+        """Store a definition without the free-index check — used for
+        multi-output integration-point variables whose RHS is a user
+        function returning all components at once (the reference's
+        tuple-assignment protocol, symbolics/08_Tensor.jl:169-186)."""
+        self.definitions[name] = (tuple(free_ids), simplify_common(term))
+        self.tensors = {k: v for k, v in self.tensors.items() if k[0] != name}
+
     # -- info/word helpers --------------------------------------------------
     @staticmethod
     def word_to_info(w: Word) -> TensorInfo:

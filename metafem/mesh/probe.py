@@ -59,11 +59,21 @@ def locate_points(geo: GeoMesh, pts: np.ndarray,
         for e in cand:
             xi = np.full(geo.dim, 0.5)
             c = corners[e]                      # [nv, dim]
+            ok = True
             for _ in range(30):
                 w, dw = _cube_weights(xi, geo.dim)
                 r = w @ c - p
                 J = np.einsum("vd,vk->dk", c, dw)
-                xi = xi - np.linalg.solve(J.T, r)
+                try:
+                    xi = xi - np.linalg.solve(J, r)
+                except np.linalg.LinAlgError:
+                    ok = False
+                    break
+                if not np.isfinite(xi).all() or np.abs(xi).max() > 10:
+                    ok = False  # diverged: p not in this candidate
+                    break
+            if not ok:
+                continue
             if (xi >= -tol).all() and (xi <= 1 + tol).all():
                 w, _ = _cube_weights(np.clip(xi, 0, 1), geo.dim)
                 if np.abs(w @ c - p).max() < 1e-6 * max(1.0,
@@ -105,3 +115,33 @@ def probe_field(geo: GeoMesh, mesh: WPMesh, et: ElementType,
         phis = np.array([f.evaluate(xi) for f in et.itp_funcs])
         vals[ip] = phis @ col[mesh.el_cp[e]]
     return vals
+
+
+def probe_gradient(geo: GeoMesh, mesh: WPMesh, et: ElementType,
+                   field: str, pts: np.ndarray) -> np.ndarray:
+    """Physical gradients [n_pts, dim] of a field at arbitrary points
+    (NaN outside): shape-function reference gradients pushed through the
+    inverse geometry jacobian of the (straight-sided) element."""
+    pts = np.asarray(pts, dtype=float)
+    el_of, ref = locate_points(geo, pts)
+    dim = geo.dim
+    grads = np.full((len(pts), dim), np.nan)
+    col = mesh.fields[field]
+    corners = geo.vert[geo.connections]
+    unit = [tuple(1 if k == d else 0 for k in range(dim))
+            for d in range(dim)]
+    for ip, (e, xi) in enumerate(zip(el_of, ref)):
+        if e < 0:
+            continue
+        dphi = np.array([[f.derivative(unit[d]).evaluate(xi)
+                          for d in range(dim)] for f in et.itp_funcs])
+        if geo.shape == "SIMPLEX":
+            v0 = corners[e, 0]
+            J = np.stack([corners[e, k + 1] - v0 for k in range(dim)],
+                         axis=-1)                       # dx/dxi [d, k]
+        else:
+            _, dw = _cube_weights(xi, dim)
+            J = np.einsum("vd,vk->dk", corners[e], dw)
+        vals = col[mesh.el_cp[e]]
+        grads[ip] = np.linalg.solve(J.T, dphi.T @ vals)
+    return grads

@@ -1,0 +1,44 @@
+"""Coupled transient thermo-elasticity: two internal fields with time
+derivatives, thermal strain coupling, steady-state detection loop
+(themal_hypo_elasticity.jl:120-130)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "examples"))
+import thermal_elasticity_3d as te  # noqa: E402
+
+
+class TestThermalElasticity:
+    def test_bending_toward_steady(self):
+        dom, wp = te.build(e_number=2)
+        la = dom.workpieces[wp].local_assembly
+        assert la.basic_vars == ["T", "d1", "d2", "d3"]
+        assert la.max_time_level == 1
+
+        steps = te.run_to_steady(dom, wp)
+        assert steps < 120  # reached the steady-state criterion
+        mesh = dom.workpieces[wp].mesh
+        c = mesh.cp_coords
+        L = c[:, 0].max()
+        h_beam = c[:, 1].max()
+        tip = c[:, 0] > L - 1e-9
+        d2_tip = mesh.fields["d2"][tip].mean()
+        # heated (y=0) side expands -> beam bends toward +y
+        assert d2_tip > 0.01
+
+        # thermal-bending consistency: curvature k = alpha*dT/h for the
+        # through-thickness temperature difference at mid-length
+        mid = np.abs(c[:, 0] - L / 2) < 0.3
+        front = mid & (np.abs(c[:, 1]) < 1e-9)
+        back = mid & (np.abs(c[:, 1] - h_beam) < 1e-9)
+        dT = (mesh.fields["T"][front].mean()
+              - mesh.fields["T"][back].mean())
+        alpha = 0.05e-3
+        kappa_thermal = alpha * dT / h_beam
+        kappa_measured = 2 * d2_tip / L ** 2
+        assert np.abs(kappa_measured - kappa_thermal) \
+            < 0.25 * abs(kappa_thermal)

@@ -172,8 +172,9 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
     bfs = pattern.basicfield_size
 
     def _run(state, linear_only: bool):
-        K = jnp.zeros(pattern.nnz)
-        residue = jnp.zeros(bfs)
+        dtype = state["x_star"].dtype
+        K = jnp.zeros(pattern.nnz, dtype)
+        residue = jnp.zeros(bfs, dtype)
         x_star = state["x_star"]
         t, dt, K_params = state["t"], state["dt"], state["K_params"]
         global_vars = state.get("global_vars", {})

@@ -74,8 +74,17 @@ class WorkPiece:
 
 
 class FEM_Domain:
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, dtype=None):
+        """``dtype``: working precision of the device hot path (geometry
+        tables, assembly, Krylov).  Defaults to the process-wide
+        config.fdtype() (f64).  On TPU f64 is software-emulated
+        (misc/02_Global_Macros.jl:124 pins f64 in the reference); pass
+        jnp.float32 for the hardware-rate path and set converge_tol
+        accordingly (~1e-5 of the initial residual is reachable with the
+        default right-Jacobi scaling)."""
+        from ..config import fdtype
         self.dim = dim
+        self.dtype = dtype or fdtype()
         self.registry = VariableRegistry()
         self.tensor_table = TensorTable(dim, self.registry)
         self.workpieces: List[WorkPiece] = []
@@ -201,7 +210,8 @@ class FEM_Domain:
         meshes = [wp.mesh for wp in self.workpieces]
         assemblies = [wp.local_assembly for wp in self.workpieces]
         self.pattern = build_global_pattern(meshes, assemblies)
-        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern))
+        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern),
+                             dtype=self.dtype)
         self.dx = jnp.zeros_like(self.x)
 
     def compile(self) -> None:
@@ -244,7 +254,7 @@ class FEM_Domain:
         (update_Mesh analog)."""
         wp_states = []
         for i, wp in enumerate(self.workpieces):
-            coords = jnp.asarray(wp.mesh.cp_coords)
+            coords = jnp.asarray(wp.mesh.cp_coords, dtype=self.dtype)
             el_cp = jnp.asarray(wp.mesh.el_cp, dtype=jnp.int32)
             itg_vals, itg_w = update_element_geometry(coords, el_cp, wp.disc)
             info = self.pattern.wp_infos[i]
@@ -273,7 +283,7 @@ class FEM_Domain:
         mutating mesh fields)."""
         for i, wp in enumerate(self.workpieces):
             self.state["wp"][i]["fields"] = {
-                name: jnp.asarray(col)
+                name: jnp.asarray(col, dtype=self.dtype)
                 for name, col in wp.mesh.fields.items()}
 
     def set_field(self, wp_id: int, name: str, values) -> None:
@@ -283,9 +293,9 @@ class FEM_Domain:
         ga = self.time_discretization
         return {**self.state,
                 "x_star": self.x,
-                "K_linear": jnp.zeros(self.pattern.nnz),
+                "K_linear": jnp.zeros(self.pattern.nnz, self.dtype),
                 "t": self.t, "dt": self.dt,
-                "K_params": jnp.asarray(ga.K_params),
+                "K_params": jnp.asarray(ga.K_params, dtype=self.dtype),
                 # traced scalars: changeable between steps w/o recompile
                 "global_vars": {k: float(v)
                                 for k, v in self.global_vars.items()},
@@ -368,7 +378,8 @@ class FEM_Domain:
     def assemble_x(self) -> None:
         meshes = [wp.mesh for wp in self.workpieces]
         assemblies = [wp.local_assembly for wp in self.workpieces]
-        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern))
+        self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern),
+                             dtype=self.dtype)
 
     def dessemble_x(self) -> None:
         meshes = [wp.mesh for wp in self.workpieces]

@@ -55,12 +55,13 @@ def _physical_itp_vals(ref_vals: np.ndarray, inv_jac: jnp.ndarray,
         ref[..., m1..mk] * invJ[m1,i1] * ... * invJ[mk,ik]
     """
     n_el = inv_jac.shape[0]
+    dtype = inv_jac.dtype
     nq, na = ref_vals.shape[:2]
-    cols = [jnp.broadcast_to(jnp.asarray(ref_vals[:, :, 0]),
+    cols = [jnp.broadcast_to(jnp.asarray(ref_vals[:, :, 0], dtype=dtype),
                              (n_el, nq, na))]  # mode 0 = value
     for order in range(1, max_sd_order + 1):
         dense_ref = jnp.asarray(
-            _dense_ref_table(ref_vals, modes, dim, order))
+            _dense_ref_table(ref_vals, modes, dim, order), dtype=dtype)
         ref_axes = _AX[:order]
         phys_axes = _AX[order:2 * order]
         ops = ", ".join(f"eq{r}{p}" for r, p in zip(ref_axes, phys_axes))
@@ -121,7 +122,9 @@ def _jacobian(ref_vals: np.ndarray, modes, dim: int,
         counts = tuple(1 if d == m else 0 for d in range(dim))
         grad_cols.append(ref_vals[:, :, _mode_index(modes, counts)])
     ref_grad = np.stack(grad_cols, axis=-1)            # [nq, na, dim(m)]
-    return jnp.einsum("qam,ead->eqdm", jnp.asarray(ref_grad), coords_el)
+    return jnp.einsum("qam,ead->eqdm",
+                      jnp.asarray(ref_grad, dtype=coords_el.dtype),
+                      coords_el)
 
 
 def update_element_geometry(cp_coords: jnp.ndarray, el_cp: jnp.ndarray,
@@ -134,7 +137,8 @@ def update_element_geometry(cp_coords: jnp.ndarray, el_cp: jnp.ndarray,
     inv_jac, det = _inverse_and_det(jac)
     itg_vals = _physical_itp_vals(disc.ref_itp_vals, inv_jac, disc.sd_modes,
                                   dim, disc.max_sd_order)
-    itg_weights = jnp.asarray(disc.itg_weight)[None, :] * det
+    itg_weights = jnp.asarray(disc.itg_weight,
+                              dtype=det.dtype)[None, :] * det
     return itg_vals, itg_weights
 
 
@@ -154,7 +158,7 @@ def update_facet_geometry(cp_coords: jnp.ndarray, el_cp_f: jnp.ndarray,
     itg_vals = _physical_itp_vals(ref_vals, inv_jac, disc.sd_modes,
                                   dim, disc.max_sd_order)
     # push reference tangents [nqb, dim, dim-1] to physical space
-    ref_tan = jnp.asarray(disc.bdy_tangents[eindex])
+    ref_tan = jnp.asarray(disc.bdy_tangents[eindex], dtype=jac.dtype)
     tan = jnp.einsum("fqdm,qmr->fqdr", jac, ref_tan)    # [F, nqb, dim, dim-1]
     if dim == 2:
         t = tan[..., 0]                                 # [F, nqb, 2]
@@ -165,5 +169,6 @@ def update_facet_geometry(cp_coords: jnp.ndarray, el_cp_f: jnp.ndarray,
         rn = jnp.cross(t1, t2)
         bdy_det = jnp.linalg.norm(rn, axis=-1)
         normal = rn / bdy_det[..., None]
-    weights = jnp.asarray(disc.bdy_itg_weights[eindex])[None, :] * bdy_det
+    weights = jnp.asarray(disc.bdy_itg_weights[eindex],
+                          dtype=bdy_det.dtype)[None, :] * bdy_det
     return itg_vals, weights, normal

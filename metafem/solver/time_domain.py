@@ -57,14 +57,15 @@ def initialize_dx(x: jnp.ndarray, dt: float,
 def update_dx(dx: jnp.ndarray, delta_x: jnp.ndarray,
               beta_params: np.ndarray) -> jnp.ndarray:
     """Corrector: dx[l] += beta_l * delta_x (update_dx!, :32-39)."""
-    return dx + jnp.asarray(beta_params)[:, None] * delta_x[None, :]
+    beta = jnp.asarray(beta_params, dtype=dx.dtype)
+    return dx + beta[:, None] * delta_x[None, :].astype(dx.dtype)
 
 
 def x_star_of(x: jnp.ndarray, dx: jnp.ndarray,
               alpha_params: Tuple[float, ...]) -> jnp.ndarray:
     """Stage state: x* = x + alpha ∘ dx (update_x_star!, :41-49)."""
     levels = x.shape[0]
-    alpha = jnp.asarray(alpha_params[:levels])
+    alpha = jnp.asarray(alpha_params[:levels], dtype=x.dtype)
     return x + alpha[:, None] * dx
 
 

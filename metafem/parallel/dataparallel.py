@@ -1,0 +1,97 @@
+"""Element-axis data parallelism (SPMD over a device mesh).
+
+Design (the TPU replacement for the reference's absent distributed layer,
+SURVEY §2.8): the FEM "sequence" is the element list — embarrassingly
+parallel for the gather/coefficient/contract stages.  Every per-element
+table (physical derivative tables, weights, cp ids, sparse slots) is
+sharded along the leading element axis with ``NamedSharding(P('el'))``;
+the global vectors (x, K values, residual) and per-controlpoint fields
+stay replicated.  Under jit, GSPMD partitions the batched einsums
+per-device and lowers each ``segment_sum`` into local partial sums plus an
+AllReduce over the mesh — exactly the halo-free "psum of partial
+assemblies" pattern, riding ICI.
+
+Padding: the element count is padded to a multiple of the mesh size; pad
+elements carry zero derivative tables and zero quadrature weights, so
+every contribution they scatter is exactly 0 (slot 0 receives +0.0 —
+bitwise no-op in f32/f64).
+
+Scaling note (multi-slice / >16 chips): replicated K forces an AllReduce
+of nnz values; the planned refinement is a reduce_scatter onto row-block
+shards with the Krylov x all-gathered per iteration.  On one slice the
+AllReduce rides ICI and the element axis dominates, so this simpler
+layout is used first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def element_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("el"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("el",))
+
+
+def _pad_leading(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    pad = (-x.shape[0]) % mult
+    if pad == 0:
+        return x
+    pad_block = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad_block], axis=0)
+
+
+def shard_domain_state(state: dict, mesh: Mesh) -> dict:
+    """Place a FEM_Domain runtime state pytree onto the device mesh:
+    element tables sharded along 'el', everything else replicated."""
+    n_dev = mesh.devices.size
+    el_sh = element_sharding(mesh)
+    rep = replicated_sharding(mesh)
+
+    def _shard_part(part: dict, shard: bool) -> dict:
+        if not shard:
+            return {k: jax.device_put(v, rep) for k, v in part.items()}
+        out = {k: jax.device_put(_pad_leading(v, n_dev), el_sh)
+               for k, v in part.items()}
+        # pad elements must contribute exactly zero: zero their tables
+        n_real = part["weights"].shape[0]
+        for key in ("weights", "itg_vals"):
+            v = out[key]
+            mask = (jnp.arange(v.shape[0]) < n_real).astype(v.dtype)
+            out[key] = v * mask.reshape((-1,) + (1,) * (v.ndim - 1))
+        return out
+
+    out = dict(state)
+    wps = []
+    for wp_state in state["wp"]:
+        # boundary facet batches are typically small; keep them replicated
+        # (they also partition by local-face index, so per-part sharding
+        # would fragment the mesh axis)
+        wps.append({
+            "el": _shard_part(wp_state["el"], shard=True),
+            "bdy": {bg: [_shard_part(p, shard=False) for p in parts]
+                    for bg, parts in wp_state["bdy"].items()},
+            "fields": {k: jax.device_put(v, rep)
+                       for k, v in wp_state["fields"].items()},
+        })
+    out["wp"] = wps
+    for k in ("x_star", "K_linear", "K_params"):
+        out[k] = jax.device_put(state[k], rep)
+    if "user" in state:
+        out["user"] = jax.tree_util.tree_map(
+            lambda v: jax.device_put(jnp.asarray(v), rep), state["user"])
+    return out

@@ -20,6 +20,13 @@ import jax
 if os.environ.get("METAFEM_DISABLE_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# TPU MXU defaults to bf16 inputs for f32 matmuls; FEM jacobians/gradients
+# are differences of near-equal coordinates/field values and cancel
+# catastrophically at bf16 (8-bit mantissa) — element-scale geometry
+# simply vanishes.  Force true-f32 (3-pass) matmuls; hot kernels that can
+# tolerate bf16 opt back in locally with centered operands.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -66,15 +66,23 @@ def main():
 
     state = dom._runtime_state()
     state["x_star"] = dom.x
-    # warmup (compile)
-    residue, K_total = dom._res_k(state)
-    jax.block_until_ready((residue, K_total))
 
+    # data-dependent chain: each assembly consumes the previous result, so
+    # async dispatch / any transport-level caching cannot fake the timing
     n_iters = 20
+
+    @jax.jit
+    def chained(state):
+        def body(i, xs):
+            st = dict(state)
+            st["x_star"] = xs
+            residue, K_total = dom._res_k.__wrapped__(st)
+            return xs + 1e-12 * residue[None, :]
+        return jax.lax.fori_loop(0, n_iters, body, state["x_star"])
+
+    jax.block_until_ready(chained(state))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        residue, K_total = dom._res_k(state)
-    jax.block_until_ready((residue, K_total))
+    jax.block_until_ready(chained(state))
     dt = (time.perf_counter() - t0) / n_iters
 
     dofs_per_sec = dom.pattern.basicfield_size / dt

@@ -47,10 +47,8 @@ class CompiledWP:
     info: WPGlobalInfo
     #: boundary group id -> list of (eindex, facet element ids) partitions
     bdy_parts: Dict[int, List[Tuple[int, np.ndarray]]]
-
-
-def _segment_sum(data, ids, num):
-    return jax.ops.segment_sum(data, ids, num_segments=num)
+    #: host copy of the element control-point ids [E, na]
+    el_cp: np.ndarray = None
 
 
 def _build_env(tb: TensorTable, wp_state: dict, part_state: dict,
@@ -109,40 +107,26 @@ def _assemble_part(tb: TensorTable, cw: CompiledWP, part_state: dict,
                    bilinears_res: List[AssembleBilinear],
                    bilinears_grad: List[AssembleBilinear],
                    ctx: LoweringContext, K_params,
-                   ) -> Tuple[Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+                   ) -> Tuple[Dict[int, jnp.ndarray],
                               Dict[int, jnp.ndarray]]:
-    """Residual (rows, values) and per-unit COO chunks for one batch of
-    elements or facets (gen_K_Linear_GPU / gen_Res_K_NonLinear_GPU,
-    05_CodeGenerator.jl:52-154)."""
-    disc, la, info = cw.disc, cw.la, cw.info
+    """Per-DOF-position residual contributions [B, na] and per-unit
+    element-stiffness blocks [B, na, na] for one batch of elements or
+    facets (gen_K_Linear_GPU / gen_Res_K_NonLinear_GPU,
+    05_CodeGenerator.jl:52-154).  No scattering here — the caller reduces
+    everything through precomputed gather maps."""
+    disc, la = cw.disc, cw.la
     itg_vals = part_state["itg_vals"]
     weights = part_state["weights"]
-    el_cp = part_state["el_cp"]
-    pair_slot = part_state["pair_slot"]
 
-    res_out = None
-    if bilinears_res:
-        res_el = None
-        rows_all = None
-        contribs = {}
-        for bil in bilinears_res:
-            sym, td, sd_ids, pos = bil.dual_info
-            if len(sd_ids) > la.max_sd_order:
-                continue
-            m = sd_ids_to_mode(tb.dim, sd_ids, disc.sd_modes)
-            cwgt = ctx.lower(bil.base_term) * weights          # [B, nq]
-            contrib = jnp.einsum("bqa,bq->ba", itg_vals[..., m], cwgt)
-            contribs[pos] = contribs.get(pos, 0.0) + contrib
-        if contribs:
-            parts = []
-            rows_parts = []
-            for pos, c in contribs.items():
-                parts.append(c.reshape(-1))
-                rows = el_cp + (info.dof_offset + pos * info.n_cp)
-                rows_parts.append(rows.reshape(-1))
-            res_out = (jnp.concatenate(rows_parts),
-                       jnp.concatenate(parts))
-        del res_el, rows_all
+    res_contribs: Dict[int, jnp.ndarray] = {}
+    for bil in bilinears_res:
+        _, _, sd_ids, pos = bil.dual_info
+        if len(sd_ids) > la.max_sd_order:
+            continue
+        m = sd_ids_to_mode(tb.dim, sd_ids, disc.sd_modes)
+        cwgt = ctx.lower(bil.base_term) * weights              # [B, nq]
+        contrib = jnp.einsum("bqa,bq->ba", itg_vals[..., m], cwgt)
+        res_contribs[pos] = res_contribs.get(pos, 0.0) + contrib
 
     kel_units: Dict[int, jnp.ndarray] = {}
     for bil in bilinears_grad:
@@ -158,32 +142,42 @@ def _assemble_part(tb: TensorTable, cw: CompiledWP, part_state: dict,
                          itg_vals[..., m1], cwgt, itg_vals[..., m2])
         kel_units[u] = kel_units.get(u, 0.0) + kel
 
-    chunks = {u: _segment_sum(kel.reshape(-1), pair_slot.reshape(-1),
-                              info.unitsize)
-              for u, kel in kel_units.items()}
-    return res_out, chunks
+    return res_contribs, kel_units
 
 
 def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                   pattern: GlobalPattern,
                   functions: Dict[str, object]):
     """Build (k_linear, res_k_nonlinear) as jittable pure functions of the
-    runtime ``state`` pytree."""
+    runtime ``state`` pytree.
+
+    The contribution->slot maps are static per phase, so they are inverted
+    once (at first trace) into padded gather maps; the runtime reduction
+    is gathers + dense sums — no scatters (see scatter.py)."""
+    from .scatter import build_gather_reduce
+
     bfs = pattern.basicfield_size
+    #: phase -> (residual GatherReduce, K GatherReduce); built lazily at
+    #: first trace, reused by retraces (the layout is phase-static)
+    _maps_cache: Dict[bool, tuple] = {}
 
     def _run(state, linear_only: bool):
         dtype = state["x_star"].dtype
-        K = jnp.zeros(pattern.nnz, dtype)
-        residue = jnp.zeros(bfs, dtype)
         x_star = state["x_star"]
         t, dt, K_params = state["t"], state["dt"], state["K_params"]
         global_vars = state.get("global_vars", {})
+
+        r_vals: List[jnp.ndarray] = []
+        r_rows: List[np.ndarray] = []
+        k_vals: List[jnp.ndarray] = []
+        k_slots: List[np.ndarray] = []
+
         for w_i, cw in enumerate(compiled_wps):
             wp_state = state["wp"][w_i]
             la, info = cw.la, cw.info
 
-            def do_wf(wf: AssembleWeakform, part_state, is_boundary):
-                nonlocal K, residue
+            def do_wf(wf: AssembleWeakform, part_state, el_cp_np,
+                      pair_slot_np, is_boundary):
                 if linear_only:
                     res_bils, grad_bils = [], wf.linear_gradients
                     inner_infos: List[InnervarInfo] = []
@@ -194,24 +188,58 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     exter_infos = wf.extervar_infos
                 if not (res_bils or grad_bils):
                     return
+                # sharding may have padded the element batch; pad the host
+                # index arrays to match (pad contributions are exactly 0 —
+                # zeroed tables — so slot 0 receives harmless +0)
+                B = part_state["weights"].shape[0]
+                if B != el_cp_np.shape[0]:
+                    pad = B - el_cp_np.shape[0]
+                    el_cp_np = np.pad(el_cp_np, ((0, pad), (0, 0)))
+                    pair_slot_np = np.pad(pair_slot_np,
+                                          ((0, pad),) + ((0, 0),) * 2)
                 env = _build_env(tb, wp_state, part_state, cw, inner_infos,
                                  exter_infos, x_star, t, dt, global_vars,
                                  is_boundary)
                 ctx = LoweringContext(tb, env, functions,
                                       user_state=state.get("user"))
-                res_out, chunks = _assemble_part(
+                res_contribs, kel_units = _assemble_part(
                     tb, cw, part_state, res_bils, grad_bils, ctx, K_params)
-                if res_out is not None:
-                    rows, vals = res_out
-                    residue = residue + _segment_sum(vals, rows, bfs)
-                for u, chunk in chunks.items():
-                    off = info.sparse_entry + u * info.unitsize
-                    K = K.at[off:off + info.unitsize].add(chunk)
+                for pos in sorted(res_contribs):
+                    r_vals.append(res_contribs[pos].reshape(-1))
+                    r_rows.append(
+                        (el_cp_np.astype(np.int64) + info.dof_offset
+                         + pos * info.n_cp).reshape(-1))
+                for u in sorted(kel_units):
+                    k_vals.append(kel_units[u].reshape(-1))
+                    k_slots.append(
+                        (pair_slot_np.astype(np.int64) + info.sparse_entry
+                         + u * info.unitsize).reshape(-1))
 
-            do_wf(la.assembled_weakform, wp_state["el"], False)
+            do_wf(la.assembled_weakform, wp_state["el"], cw.el_cp,
+                  info.pair_slot, False)
             for bg_id, wf in la.assembled_boundary_weakform_pairs.items():
-                for part_state in wp_state["bdy"][bg_id]:
-                    do_wf(wf, part_state, True)
+                for j, part_state in enumerate(wp_state["bdy"][bg_id]):
+                    els = cw.bdy_parts[bg_id][j][1]
+                    do_wf(wf, part_state, cw.el_cp[els],
+                          info.pair_slot[els], True)
+
+        cache_key = (linear_only,
+                     sum(int(r.size) for r in r_rows),
+                     sum(int(k.size) for k in k_slots))
+        maps = _maps_cache.get(cache_key)
+        if maps is None:
+            r_map = (build_gather_reduce(np.concatenate(r_rows), bfs)
+                     if r_rows else None)
+            k_map = (build_gather_reduce(np.concatenate(k_slots),
+                                         pattern.nnz)
+                     if k_slots else None)
+            maps = _maps_cache[cache_key] = (r_map, k_map)
+        r_map, k_map = maps
+
+        residue = (r_map(jnp.concatenate(r_vals)) if r_map is not None
+                   else jnp.zeros(bfs, dtype))
+        K = (k_map(jnp.concatenate(k_vals)) if k_map is not None
+             else jnp.zeros(pattern.nnz, dtype))
         return residue, K
 
     def k_linear(state):

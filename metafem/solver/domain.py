@@ -221,7 +221,8 @@ class FEM_Domain:
         self._compiled_wps = [
             CompiledWP(disc=wp.disc, la=wp.local_assembly,
                        info=self.pattern.wp_infos[i],
-                       bdy_parts=wp.bdy_parts)
+                       bdy_parts=wp.bdy_parts,
+                       el_cp=wp.mesh.el_cp.astype(np.int64))
             for i, wp in enumerate(self.workpieces)]
         k_linear, res_k = make_updaters(
             self.tensor_table, self._compiled_wps, self.pattern,

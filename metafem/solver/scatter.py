@@ -1,0 +1,79 @@
+"""Scatter-free reduction: precomputed padded gather maps.
+
+TPU scatters (what ``segment_sum`` lowers to) run at ~1e8 updates/s —
+orders of magnitude below gather/einsum bandwidth — so the assembly's
+"scatter contributions into COO slots" step is inverted at setup time:
+for every output slot we precompute the (padded, capped) list of
+contribution indices, and the runtime reduction becomes
+
+    out[s] = sum_k data_padded[gmap[s, k]]
+
+— pure gathers + a small dense sum, running at HBM bandwidth.  Slots with
+more than ``cap`` contributions (e.g. diagonal pairs at high-valence
+vertices of tet meshes) spill into a small overflow COO handled by one
+ordinary segment_sum; the overflow is a few percent of contributions, so
+its scatter cost is negligible.  The reduction stays deterministic
+(fixed summation order), unlike the reference's atomics
+(solver/06_FEM_Kernel.jl).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class GatherReduce:
+    """Holds HOST (numpy) index maps — they may be built inside a jit
+    trace (lazily, at first trace) and are re-lifted as constants by every
+    trace that applies them, so no tracers can leak across traces."""
+    num: int                      # number of output slots
+    n_data: int                   # contribution count (sentinel index)
+    gmap: np.ndarray              # [num, cap] int32, sentinel = n_data
+    overflow_src: Optional[np.ndarray]   # [n_of] int32 into data
+    overflow_dst: Optional[np.ndarray]   # [n_of] int32 slot ids
+
+    def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
+        padded = jnp.concatenate(
+            [data, jnp.zeros(1, dtype=data.dtype)])
+        out = padded[self.gmap].sum(-1)
+        if self.overflow_src is not None:
+            out = out + jax.ops.segment_sum(
+                data[self.overflow_src], self.overflow_dst,
+                num_segments=self.num)
+        return out
+
+
+def build_gather_reduce(slots: np.ndarray, num: int,
+                        cap: int = 8) -> GatherReduce:
+    """Invert a contribution->slot map.  ``slots``: [N] target slot per
+    contribution (all in [0, num))."""
+    slots = np.asarray(slots)
+    n = slots.size
+    order = np.argsort(slots, kind="stable")
+    sorted_slots = slots[order]
+    counts = np.bincount(slots, minlength=num)
+    starts = np.zeros(num + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    col = np.arange(n, dtype=np.int64) - starts[sorted_slots]
+
+    k = int(min(counts.max() if n else 0, cap))
+    k = max(k, 1)
+    in_map = col < k
+    gmap = np.full((num, k), n, dtype=np.int32)
+    gmap[sorted_slots[in_map], col[in_map]] = order[in_map]
+
+    of = ~in_map
+    if of.any():
+        overflow_src = order[of].astype(np.int32)
+        overflow_dst = sorted_slots[of].astype(np.int32)
+    else:
+        overflow_src = overflow_dst = None
+    return GatherReduce(num=num, n_data=n, gmap=gmap,
+                        overflow_src=overflow_src,
+                        overflow_dst=overflow_dst)

@@ -76,6 +76,9 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
         return out
 
     out = dict(state)
+    # the precomputed reduction maps assume unpadded batches; drop them so
+    # the updaters rebuild padded maps at trace time
+    out.pop("maps", None)
     wps = []
     for wp_state in state["wp"]:
         # boundary facet batches are typically small; keep them replicated

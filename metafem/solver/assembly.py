@@ -145,6 +145,54 @@ def _assemble_part(tb: TensorTable, cw: CompiledWP, part_state: dict,
     return res_contribs, kel_units
 
 
+def _phase_bilinears(wf: AssembleWeakform, la: LocalAssembly,
+                     linear_only: bool):
+    """(residual positions, K units) this weak form contributes in the
+    given phase — shared by the traced run and the host map builder so
+    the contribution concatenation orders match exactly."""
+    if linear_only:
+        res_bils: List[AssembleBilinear] = []
+        grad_bils = wf.linear_gradients
+    else:
+        res_bils, grad_bils = wf.residues, wf.nonlinear_gradients
+    positions = sorted({b.dual_info[3] for b in res_bils
+                        if len(b.dual_info[2]) <= la.max_sd_order})
+    units = sorted({la.sparse_mapping[(b.dual_info[3],
+                                       b.derivative_info[3])]
+                    for b in grad_bils
+                    if max(len(b.dual_info[2]),
+                           len(b.derivative_info[2])) <= la.max_sd_order})
+    return positions, units
+
+
+def collect_phase_slots(compiled_wps: List[CompiledWP],
+                        pattern: GlobalPattern, linear_only: bool):
+    """Host mirror of _run's contribution order: the concatenated residual
+    DOF rows and K COO slots for one phase."""
+    r_slots: List[np.ndarray] = []
+    k_slots: List[np.ndarray] = []
+    for cw in compiled_wps:
+        la, info = cw.la, cw.info
+
+        def handle(wf, el_cp_np, pair_slot_np):
+            positions, units = _phase_bilinears(wf, la, linear_only)
+            for pos in positions:
+                r_slots.append((el_cp_np.astype(np.int64) + info.dof_offset
+                                + pos * info.n_cp).reshape(-1))
+            for u in units:
+                k_slots.append((pair_slot_np.astype(np.int64)
+                                + info.sparse_entry
+                                + u * info.unitsize).reshape(-1))
+
+        handle(la.assembled_weakform, cw.el_cp, info.pair_slot)
+        for bg_id, wf in la.assembled_boundary_weakform_pairs.items():
+            for (_, els) in cw.bdy_parts[bg_id]:
+                handle(wf, cw.el_cp[els], info.pair_slot[els])
+    r = np.concatenate(r_slots) if r_slots else None
+    k = np.concatenate(k_slots) if k_slots else None
+    return r, k
+
+
 def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                   pattern: GlobalPattern,
                   functions: Dict[str, object]):
@@ -226,6 +274,22 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
         cache_key = (linear_only,
                      sum(int(r.size) for r in r_rows),
                      sum(int(k.size) for k in k_slots))
+        phase_key = "lin" if linear_only else "nl"
+        device_maps = state.get("maps", {}).get(phase_key)
+        if device_maps is not None:
+            # maps passed as device arrays through the state pytree (the
+            # standard path; keeps them out of the program constants)
+            from .scatter import apply_device_maps
+            residue = (apply_device_maps(device_maps.get("r"),
+                                         jnp.concatenate(r_vals), bfs)
+                       if r_vals else jnp.zeros(bfs, dtype))
+            K = (apply_device_maps(device_maps.get("k"),
+                                   jnp.concatenate(k_vals), pattern.nnz)
+                 if k_vals else jnp.zeros(pattern.nnz, dtype))
+            return residue, K
+
+        # fallback (e.g. externally re-sharded/padded states): build maps
+        # from the traced layout and embed as constants
         maps = _maps_cache.get(cache_key)
         if maps is None:
             r_map = (build_gather_reduce(np.concatenate(r_rows), bfs)

@@ -229,6 +229,22 @@ class FEM_Domain:
             self.functions)
         self._k_linear = jax.jit(k_linear)
         self._res_k = jax.jit(res_k)
+        # scatter-free reduction maps, built once on the host and passed
+        # through the state pytree as device arrays
+        from .assembly import collect_phase_slots
+        from .scatter import build_gather_reduce, maps_to_device
+        self._device_maps = {}
+        for phase_key, linear_only in (("lin", True), ("nl", False)):
+            r_slots, k_slots = collect_phase_slots(
+                self._compiled_wps, self.pattern, linear_only)
+            entry = {}
+            if r_slots is not None:
+                entry["r"] = maps_to_device(build_gather_reduce(
+                    r_slots, self.pattern.basicfield_size))
+            if k_slots is not None:
+                entry["k"] = maps_to_device(build_gather_reduce(
+                    k_slots, self.pattern.nnz))
+            self._device_maps[phase_key] = entry
         self.update_mesh()
         if self.linear_solver is None:
             self.linear_solver = self.make_iterative_solver()
@@ -293,6 +309,7 @@ class FEM_Domain:
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
         return {**self.state,
+                "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.nnz, self.dtype),
                 "t": self.t, "dt": self.dt,

@@ -77,3 +77,28 @@ def build_gather_reduce(slots: np.ndarray, num: int,
     return GatherReduce(num=num, n_data=n, gmap=gmap,
                         overflow_src=overflow_src,
                         overflow_dst=overflow_dst)
+
+
+def maps_to_device(gr: Optional[GatherReduce]) -> Optional[dict]:
+    """Upload a GatherReduce's index arrays once; passing them through the
+    state pytree keeps them out of the compiled program's constants (which
+    would otherwise ship hundreds of MB through every compile)."""
+    if gr is None:
+        return None
+    out = {"gmap": jnp.asarray(gr.gmap)}
+    if gr.overflow_src is not None:
+        out["of_src"] = jnp.asarray(gr.overflow_src)
+        out["of_dst"] = jnp.asarray(gr.overflow_dst)
+    return out
+
+
+def apply_device_maps(maps: Optional[dict], data: jnp.ndarray,
+                      num: int) -> jnp.ndarray:
+    if maps is None:
+        return jnp.zeros(num, data.dtype)
+    padded = jnp.concatenate([data, jnp.zeros(1, dtype=data.dtype)])
+    out = padded[maps["gmap"]].sum(-1)
+    if "of_src" in maps:
+        out = out + jax.ops.segment_sum(data[maps["of_src"]],
+                                        maps["of_dst"], num_segments=num)
+    return out

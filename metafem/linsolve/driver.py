@@ -33,15 +33,26 @@ def iterative_solve(A: SparseMatrix, b, diag_pos: np.ndarray,
                     sv_func: Callable = krylov.idrs,
                     use_pr_jacobi: bool = True,
                     use_pl_jacobi: bool = False,
+                    neumann_order: int = 0,
                     max_pass: int = 4,
                     maxiter: int = 2000,
                     verbose: bool = False,
                     **kwargs) -> jnp.ndarray:
-    """Preconditioned restarted Krylov solve of A x = b."""
+    """Preconditioned restarted Krylov solve of A x = b.
+
+    ``neumann_order > 0`` enables the polynomial left preconditioner (the
+    TPU substitute for the reference's ILU, see poly.py); it composes with
+    the right Jacobi scaling and rescales b once."""
     unscale: Optional[Callable] = None
     if use_pr_jacobi:
         A, unscale = pr_jacobi(A, diag_pos)
     pl = pl_jacobi(A, diag_pos) if use_pl_jacobi else None
+    if neumann_order > 0:
+        from .poly import NeumannOperator
+        dinv = pl_jacobi(A, diag_pos)
+        A = NeumannOperator(A, dinv, neumann_order)
+        b = A.pinv(b)
+        pl = None
 
     n = b.shape[0]
     x = jnp.zeros_like(b)

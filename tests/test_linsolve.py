@@ -106,3 +106,43 @@ class TestDriver:
         b = jnp.asarray(A @ x_true)
         x = solver_lu(_to_sparse(A), b)
         np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-10)
+
+
+class TestNeumannPreconditioner:
+    def test_reduces_iterations(self):
+        n = 256
+        A = _laplace_1d(n)
+        x_true = np.sin(np.linspace(0, 3, n))
+        b = jnp.asarray(A @ x_true)
+        As = _to_sparse(A)
+        rows = np.asarray(As.rows)
+        cols = np.asarray(As.cols)
+        diag_pos = np.full(n, -1, dtype=np.int64)
+        hits = rows == cols
+        diag_pos[rows[hits]] = np.nonzero(hits)[0]
+
+        x0, it0, _ = bicgstab(As, b, tol=1e-10, maxiter=20000)
+        from metafem.linsolve.poly import NeumannOperator
+        from metafem.linsolve.precond import pl_jacobi
+        Ap = NeumannOperator(As, pl_jacobi(As, diag_pos), 4)
+        bp = Ap.pinv(b)
+        x1, it1, _ = bicgstab(Ap, bp, tol=1e-10, maxiter=20000)
+        np.testing.assert_allclose(np.asarray(x1), x_true, atol=1e-5)
+        # order-4 polynomial must cut the iteration count substantially
+        assert int(it1) < 0.6 * int(it0)
+
+    def test_driver_neumann_path(self):
+        n = 128
+        A = _nonsym(n)
+        x_true = np.cos(np.linspace(0, 5, n))
+        b = jnp.asarray(A @ x_true)
+        As = _to_sparse(A)
+        rows = np.asarray(As.rows)
+        cols = np.asarray(As.cols)
+        diag_pos = np.full(n, -1, dtype=np.int64)
+        hits = rows == cols
+        diag_pos[rows[hits]] = np.nonzero(hits)[0]
+        x = iterative_solve(As, b, diag_pos, converge_tol=1e-10,
+                            sv_func=linsolve.krylov.bicgstab,
+                            neumann_order=3, max_pass=10, maxiter=5000)
+        np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)

@@ -352,6 +352,30 @@ class FEM_Domain:
         self.dx = dx
         return res
 
+    def make_jitted_step(self, **kwargs):
+        """Fully-jitted step (Newton + Krylov in one device dispatch, see
+        jit_step.py).  Usage:
+
+            step = dom.make_jitted_step(sv_func=krylov.bicgstab)
+            state = dom._runtime_state()
+            x, dx, res, iters = step(state, dom.x, t, dt)
+        """
+        from .jit_step import make_jitted_step
+        return make_jitted_step(self, **kwargs)
+
+    def update_one_step_jit(self, max_iter: int = 4, **kwargs) -> float:
+        """Drive one step through the jitted path (single dispatch)."""
+        if getattr(self, "_jit_step", None) is None:
+            self._jit_step = self.make_jitted_step(max_newton=max_iter,
+                                                   **kwargs)
+        self.t += self.dt
+        state = self._runtime_state()
+        x, dx, res, _ = self._jit_step(state, self.x,
+                                       jnp.asarray(self.t, self.dtype),
+                                       jnp.asarray(self.dt, self.dtype))
+        self.x, self.dx = x, dx
+        return float(res)
+
     # ------------------------------------------------------------------
     # integration-point evaluation (for history-variable return maps)
     # ------------------------------------------------------------------

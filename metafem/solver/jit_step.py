@@ -1,0 +1,97 @@
+"""Fully-jitted time step: generalized-alpha predictor, Newton loop with
+convergence break, preconditioned Krylov solve — one device dispatch.
+
+The host-loop ``FEM_Domain.update_one_step`` mirrors the reference's
+``update_OneStep!`` (residual norms pulled to the host per Newton
+iteration, solver/04_Time_Domain.jl:59-80) and is convenient for printing
+and user callbacks between iterations.  For production stepping — and
+especially through a remote-device transport where every host readback
+costs a round trip — this variant stages the whole step as one jitted
+function: the Newton iteration is a ``lax.while_loop`` carrying
+(x_star, dx, residual norm), with the Krylov solver nested inside.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..linsolve import krylov
+from ..linsolve.precond import pr_jacobi
+from ..linsolve.spmv import SparseMatrix
+from .time_domain import initialize_dx, x_star_of
+
+
+def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
+                     maxiter: int = 2000, max_newton: int = 4,
+                     **sv_kwargs):
+    """Build ``step(state, x, t, dt) -> (x_new, dx, res, n_newton)``.
+
+    ``state`` is the runtime pytree (geometry, fields, maps, user);
+    converge_tol is read from the domain at build time.  Every Newton
+    iteration assembles the residual/tangent and solves with ``sv_func``
+    (right-Jacobi preconditioned, single pass).
+    """
+    pattern = domain.pattern
+    ga = domain.time_discretization
+    gamma = tuple(ga.gamma_params)
+    alpha = tuple(ga.alpha_params)
+    tol = float(domain.converge_tol)
+    L = pattern.max_time_level
+    csr_perm = jnp.asarray(pattern.csr_perm)
+    rows_sorted = jnp.asarray(pattern.rows_sorted)
+    cols_sorted = jnp.asarray(pattern.cols_sorted)
+    diag_pos = pattern.diag_pos
+    res_k = domain._res_k.__wrapped__
+    k_linear = domain._k_linear.__wrapped__
+    sqrt_n = np.sqrt(pattern.basicfield_size)
+
+    @jax.jit
+    def step(state, x, t, dt):
+        levels = L + 1
+        prod_gamma = jnp.asarray(
+            [np.prod(gamma[:i]) for i in range(levels)], x.dtype)
+        dt_pow = jnp.stack([dt ** i for i in range(levels)]).astype(x.dtype)
+        beta = 1.0 / (prod_gamma * dt_pow)
+        K_params = jnp.asarray(alpha[:levels], x.dtype) * beta
+
+        st = dict(state)
+        st["t"], st["dt"], st["K_params"] = t, dt, K_params
+        st["x_star"] = x
+        K_lin = k_linear(st)
+        st["K_linear"] = K_lin
+        dx0 = initialize_dx(x, dt, gamma)
+
+        def res_of(dx):
+            st2 = dict(st)
+            st2["x_star"] = x_star_of(x, dx, alpha)
+            residue, K_total = res_k(st2)
+            return residue, K_total
+
+        def cond(carry):
+            dx, res, it = carry
+            return (res > tol) & (it < max_newton)
+
+        def body(carry):
+            dx, _, it = carry
+            residue, K_total = res_of(dx)
+            A = SparseMatrix(K_total[csr_perm], rows_sorted, cols_sorted,
+                             pattern.basicfield_size)
+            A, unscale = pr_jacobi(A, diag_pos)
+            delta, _, _ = sv_func(A, residue, tol=tol, maxiter=maxiter,
+                                  **sv_kwargs)
+            delta = unscale(delta)
+            dx = dx + beta[:, None] * (-delta)[None, :]  # update_dx!
+            residue2, _ = res_of(dx)
+            res2 = jnp.linalg.norm(residue2) / sqrt_n
+            return dx, res2, it + 1
+
+        residue0, _ = res_of(dx0)
+        res0 = jnp.linalg.norm(residue0) / sqrt_n
+        dx, res, it = jax.lax.while_loop(cond, body, (dx0, res0, 0))
+        return x + dx, dx, res, it
+
+    return step

@@ -228,3 +228,25 @@ class TestThermal2DIntegration:
         Ti = np.interp(thermal_2d.FEATOOL_Y, ys, Ts)
         err = np.abs(Ti - thermal_2d.FEATOOL_T) / thermal_2d.FEATOOL_T
         assert err.max() < 0.01
+
+
+class TestJittedStep:
+    def test_matches_host_loop(self):
+        import jax.numpy as jnp
+        dom, wp = _thermal_domain(nel=(4, 3), with_boundary=True)
+        mesh = dom.workpieces[wp].mesh
+        dom.converge_tol = 1e-10
+        dom.set_field(wp, "T", np.full(mesh.n_cp, 0.5))
+        dom.refresh_fields()
+        dom.assemble_x()
+        x0 = dom.x
+
+        res_host = dom.update_one_step(max_iter=6)
+        x_host = np.asarray(dom.x)
+
+        dom.x = x0
+        dom.t -= dom.dt
+        res_jit = dom.update_one_step_jit(max_iter=6, maxiter=5000)
+        x_jit = np.asarray(dom.x)
+        assert res_jit < 1e-9
+        np.testing.assert_allclose(x_jit, x_host, rtol=1e-7, atol=1e-9)

@@ -41,7 +41,11 @@ class GatherReduce:
     def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
         padded = jnp.concatenate(
             [data, jnp.zeros(1, dtype=data.dtype)])
-        out = padded[self.gmap].sum(-1)
+        # column-wise 1-D gathers (a [num, cap] 2-D gather would be tiled
+        # to (8,128) on TPU, padding cap up to 128 — see maps_to_device)
+        out = padded[self.gmap[:, 0]]
+        for k in range(1, self.gmap.shape[1]):
+            out = out + padded[self.gmap[:, k]]
         if self.overflow_src is not None:
             out = out + jax.ops.segment_sum(
                 data[self.overflow_src], self.overflow_dst,
@@ -82,10 +86,16 @@ def build_gather_reduce(slots: np.ndarray, num: int,
 def maps_to_device(gr: Optional[GatherReduce]) -> Optional[dict]:
     """Upload a GatherReduce's index arrays once; passing them through the
     state pytree keeps them out of the compiled program's constants (which
-    would otherwise ship hundreds of MB through every compile)."""
+    would otherwise ship hundreds of MB through every compile).
+
+    Layout note: the map is stored FLAT (column-major, [cap * num]) so
+    every runtime access is a 1-D gather — a 2-D [num, cap] int32 array
+    would be tiled to (8, 128) on TPU, padding the tiny cap axis to 128
+    (observed 64x HBM blowup, 7 GB for a 115 MB map)."""
     if gr is None:
         return None
-    out = {"gmap": jnp.asarray(gr.gmap)}
+    out = {"gmap_flat": jnp.asarray(np.ascontiguousarray(
+        gr.gmap.T).reshape(-1))}
     if gr.overflow_src is not None:
         out["of_src"] = jnp.asarray(gr.overflow_src)
         out["of_dst"] = jnp.asarray(gr.overflow_dst)
@@ -97,7 +107,12 @@ def apply_device_maps(maps: Optional[dict], data: jnp.ndarray,
     if maps is None:
         return jnp.zeros(num, data.dtype)
     padded = jnp.concatenate([data, jnp.zeros(1, dtype=data.dtype)])
-    out = padded[maps["gmap"]].sum(-1)
+    gmap_flat = maps["gmap_flat"]
+    n = num
+    cap = gmap_flat.shape[0] // n     # static under trace
+    out = padded[gmap_flat[0:n]]
+    for k in range(1, cap):
+        out = out + padded[gmap_flat[k * n:(k + 1) * n]]
     if "of_src" in maps:
         out = out + jax.ops.segment_sum(data[maps["of_src"]],
                                         maps["of_dst"], num_segments=num)

@@ -32,23 +32,28 @@ def _row_norms(A: SparseMatrix) -> jnp.ndarray:
                                         indices_are_sorted=True))
 
 
-def pr_jacobi(A: SparseMatrix, diag_pos: np.ndarray,
-              ) -> Tuple[SparseMatrix, Callable]:
+def pr_jacobi(A, diag_pos: np.ndarray = None) -> Tuple[object, Callable]:
     """Right Jacobi: returns (scaled A, unscale) with A' = A diag(s),
-    x = diag(s) x'."""
+    x = diag(s) x'.  Works for any matrix with diag()/scale_cols()."""
     d = jnp.abs(A.diag(diag_pos))
-    fallback = _col_norms(A)
-    d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+    if hasattr(A, "cols"):
+        fallback = _col_norms(A)
+        d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+    else:
+        d = jnp.where(d > 0, d, 1.0)
     s = 1.0 / d
     return A.scale_cols(s), lambda x: s * x
 
 
-def pl_jacobi(A: SparseMatrix, diag_pos: np.ndarray) -> jnp.ndarray:
+def pl_jacobi(A, diag_pos: np.ndarray = None) -> jnp.ndarray:
     """Left Jacobi diagonal: M^-1 v = s * v (row-norm fallback for zero
     diagonals); returned as the vector s consumed by krylov's ``pl``."""
     d = jnp.abs(A.diag(diag_pos))
-    fallback = _row_norms(A)
-    d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+    if hasattr(A, "rows"):
+        fallback = _row_norms(A)
+        d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+    else:
+        d = jnp.where(d > 0, d, 1.0)
     return 1.0 / d
 
 

@@ -180,9 +180,9 @@ def collect_phase_slots(compiled_wps: List[CompiledWP],
                 r_slots.append((el_cp_np.astype(np.int64) + info.dof_offset
                                 + pos * info.n_cp).reshape(-1))
             for u in units:
-                k_slots.append((pair_slot_np.astype(np.int64)
-                                + info.sparse_entry
-                                + u * info.unitsize).reshape(-1))
+                k_slots.append(pattern.slot_storage(
+                    (pair_slot_np.astype(np.int64) + info.sparse_entry
+                     + u * info.unitsize).reshape(-1)))
 
         handle(la.assembled_weakform, cw.el_cp, info.pair_slot)
         for bg_id, wf in la.assembled_boundary_weakform_pairs.items():
@@ -259,9 +259,9 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                          + pos * info.n_cp).reshape(-1))
                 for u in sorted(kel_units):
                     k_vals.append(kel_units[u].reshape(-1))
-                    k_slots.append(
+                    k_slots.append(pattern.slot_storage(
                         (pair_slot_np.astype(np.int64) + info.sparse_entry
-                         + u * info.unitsize).reshape(-1))
+                         + u * info.unitsize).reshape(-1)))
 
             do_wf(la.assembled_weakform, wp_state["el"], cw.el_cp,
                   info.pair_slot, False)
@@ -284,8 +284,8 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                                          jnp.concatenate(r_vals), bfs)
                        if r_vals else jnp.zeros(bfs, dtype))
             K = (apply_device_maps(device_maps.get("k"),
-                                   jnp.concatenate(k_vals), pattern.nnz)
-                 if k_vals else jnp.zeros(pattern.nnz, dtype))
+                                   jnp.concatenate(k_vals), pattern.n_storage)
+                 if k_vals else jnp.zeros(pattern.n_storage, dtype))
             return residue, K
 
         # fallback (e.g. externally re-sharded/padded states): build maps
@@ -295,7 +295,7 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             r_map = (build_gather_reduce(np.concatenate(r_rows), bfs)
                      if r_rows else None)
             k_map = (build_gather_reduce(np.concatenate(k_slots),
-                                         pattern.nnz)
+                                         pattern.n_storage)
                      if k_slots else None)
             maps = _maps_cache[cache_key] = (r_map, k_map)
         r_map, k_map = maps
@@ -303,7 +303,7 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
         residue = (r_map(jnp.concatenate(r_vals)) if r_map is not None
                    else jnp.zeros(bfs, dtype))
         K = (k_map(jnp.concatenate(k_vals)) if k_map is not None
-             else jnp.zeros(pattern.nnz, dtype))
+             else jnp.zeros(pattern.n_storage, dtype))
         return residue, K
 
     def k_linear(state):

@@ -45,6 +45,7 @@ from ..symbolics.tensor_table import TensorTable
 from ..symbolics.weakform import BilinearForm, build_weakform
 from .. import linsolve
 from ..linsolve import SparseMatrix, iterative_solve
+from ..linsolve.block_offset import OffsetMatrix
 from .assembly import CompiledWP, make_updaters
 from .geometry import update_element_geometry, update_facet_geometry
 from .global_assembly import (GlobalPattern, assemble_x, build_global_pattern,
@@ -243,7 +244,7 @@ class FEM_Domain:
                     r_slots, self.pattern.basicfield_size))
             if k_slots is not None:
                 entry["k"] = maps_to_device(build_gather_reduce(
-                    k_slots, self.pattern.nnz))
+                    k_slots, self.pattern.n_storage))
             self._device_maps[phase_key] = entry
         self.update_mesh()
         if self.linear_solver is None:
@@ -311,7 +312,7 @@ class FEM_Domain:
         return {**self.state,
                 "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
-                "K_linear": jnp.zeros(self.pattern.nnz, self.dtype),
+                "K_linear": jnp.zeros(self.pattern.n_storage, self.dtype),
                 "t": self.t, "dt": self.dt,
                 "K_params": jnp.asarray(ga.K_params, dtype=self.dtype),
                 # traced scalars: changeable between steps w/o recompile
@@ -342,10 +343,8 @@ class FEM_Domain:
                 print(f"step iteration {counter}: residue = {res:.6e}")
             if res < self.converge_tol or counter >= max_iter:
                 break
-            K_csr = K_total[jnp.asarray(self.pattern.csr_perm)]
-            A = SparseMatrix(K_csr, jnp.asarray(self.pattern.rows_sorted),
-                             jnp.asarray(self.pattern.cols_sorted),
-                             self.pattern.basicfield_size)
+            A = OffsetMatrix.from_values(K_total,
+                                         self.pattern.offset_layout)
             delta_x = self.linear_solver(A, residue)
             dx = update_dx(dx, -delta_x, ga.beta_params)
         self.x = self.x + dx

@@ -51,6 +51,17 @@ class GlobalPattern:
     row_ptr: np.ndarray             # [basicfield_size + 1]
     diag_pos: np.ndarray            # [basicfield_size] CSR position of the
     #                                 diagonal entry, -1 if absent
+    #: block-offset storage (TPU-native; see linsolve/block_offset.py) —
+    #: K buffers are sized n_storage and indexed via slot_storage()
+    offset_layout: object = None
+
+    @property
+    def n_storage(self) -> int:
+        return self.offset_layout.n_storage
+
+    def slot_storage(self, slots: np.ndarray) -> np.ndarray:
+        """Map logical COO slot ids to storage indices."""
+        return self.offset_layout.storage_of_slot[slots]
 
 
 def build_global_pattern(meshes: List[WPMesh],
@@ -67,6 +78,7 @@ def build_global_pattern(meshes: List[WPMesh],
     max_time_level = max((la.max_time_level for la in assemblies), default=0)
 
     rows_parts, cols_parts = [], []
+    wp_metas = []
     sparse_entry = 0
     for mesh, la, info in zip(meshes, assemblies, wp_infos):
         el_cp = mesh.el_cp                                   # [E, na]
@@ -82,6 +94,12 @@ def build_global_pattern(meshes: List[WPMesh],
                                                key=lambda kv: kv[1]):
             rows_parts.append(info.dof_offset + dual_pos * mesh.n_cp + ci)
             cols_parts.append(info.dof_offset + base_pos * mesh.n_cp + cj)
+        wp_metas.append({
+            "dof_offset": info.dof_offset, "n_cp": mesh.n_cp,
+            "n_vars": la.n_vars,
+            "units": {u: pair for pair, u in la.sparse_mapping.items()},
+            "sparse_entry": info.sparse_entry, "unitsize": info.unitsize,
+            "ci": ci, "cj": cj})
         sparse_entry += info.n_units * info.unitsize
 
     nnz = sparse_entry
@@ -103,7 +121,11 @@ def build_global_pattern(meshes: List[WPMesh],
     hits = rows_sorted == cols_sorted
     diag_pos[rows_sorted[hits]] = np.nonzero(hits)[0]
 
+    from ..linsolve.block_offset import build_offset_layout
+    offset_layout = build_offset_layout(wp_metas, nnz)
+
     return GlobalPattern(
+        offset_layout=offset_layout,
         basicfield_size=basicfield_size, max_time_level=max_time_level,
         wp_infos=wp_infos, nnz=nnz,
         coo_rows=coo_rows.astype(np.int32),

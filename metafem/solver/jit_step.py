@@ -21,7 +21,7 @@ import numpy as np
 
 from ..linsolve import krylov
 from ..linsolve.precond import pr_jacobi
-from ..linsolve.spmv import SparseMatrix
+from ..linsolve.block_offset import OffsetMatrix
 from .time_domain import initialize_dx, x_star_of
 
 
@@ -41,9 +41,6 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     alpha = tuple(ga.alpha_params)
     tol = float(domain.converge_tol)
     L = pattern.max_time_level
-    csr_perm = jnp.asarray(pattern.csr_perm)
-    rows_sorted = jnp.asarray(pattern.rows_sorted)
-    cols_sorted = jnp.asarray(pattern.cols_sorted)
     diag_pos = pattern.diag_pos
     res_k = domain._res_k.__wrapped__
     k_linear = domain._k_linear.__wrapped__
@@ -78,8 +75,7 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
         def body(carry):
             dx, _, it = carry
             residue, K_total = res_of(dx)
-            A = SparseMatrix(K_total[csr_perm], rows_sorted, cols_sorted,
-                             pattern.basicfield_size)
+            A = OffsetMatrix.from_values(K_total, pattern.offset_layout)
             A, unscale = pr_jacobi(A, diag_pos)
             delta, _, _ = sv_func(A, residue, tol=tol, maxiter=maxiter,
                                   **sv_kwargs)

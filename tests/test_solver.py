@@ -137,8 +137,9 @@ class TestAssembly:
         state["K_linear"] = dom._k_linear(state)
         _, K_total = dom._res_k(state)
         pat = dom.pattern
+        K_logical = np.asarray(K_total)[pat.offset_layout.storage_of_slot]
         K_dense = np.zeros((4, 4))
-        K_dense[pat.coo_rows, pat.coo_cols] = np.asarray(K_total)
+        K_dense[pat.coo_rows, pat.coo_cols] = K_logical
         # weak form is -k * Bilinear -> minus the Laplace stiffness
         expected = -_q4_laplace(dom.workpieces[wp].mesh.cp_coords)
         np.testing.assert_allclose(K_dense, expected, atol=1e-12)
@@ -157,8 +158,9 @@ class TestAssembly:
         state["K_linear"] = dom._k_linear(state)
         residue, K_total = dom._res_k(state)
         pat = dom.pattern
+        K_logical = np.asarray(K_total)[pat.offset_layout.storage_of_slot]
         K_dense = np.zeros((pat.basicfield_size, pat.basicfield_size))
-        K_dense[pat.coo_rows, pat.coo_cols] = np.asarray(K_total)
+        K_dense[pat.coo_rows, pat.coo_cols] = K_logical
         np.testing.assert_allclose(np.asarray(residue), K_dense @ Tvals,
                                    atol=1e-10)
 

@@ -283,9 +283,21 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             residue = (apply_device_maps(device_maps.get("r"),
                                          jnp.concatenate(r_vals), bfs)
                        if r_vals else jnp.zeros(bfs, dtype))
-            K = (apply_device_maps(device_maps.get("k"),
-                                   jnp.concatenate(k_vals), pattern.n_storage)
-                 if k_vals else jnp.zeros(pattern.n_storage, dtype))
+            if not k_vals:
+                K = jnp.zeros(pattern.n_storage, dtype)
+            elif "k_touched" in device_maps:
+                # compact reduction over the touched slots + one small
+                # scatter-expand (boundary-only nonlinear tangents)
+                touched = device_maps["k_touched"]
+                compact = apply_device_maps(device_maps.get("k"),
+                                            jnp.concatenate(k_vals),
+                                            touched.shape[0])
+                K = jnp.zeros(pattern.n_storage, dtype)
+                K = K.at[touched].add(compact)
+            else:
+                K = apply_device_maps(device_maps.get("k"),
+                                      jnp.concatenate(k_vals),
+                                      pattern.n_storage)
             return residue, K
 
         # fallback (e.g. externally re-sharded/padded states): build maps

@@ -233,7 +233,8 @@ class FEM_Domain:
         # scatter-free reduction maps, built once on the host and passed
         # through the state pytree as device arrays
         from .assembly import collect_phase_slots
-        from .scatter import build_gather_reduce, maps_to_device
+        from .scatter import (build_compact_gather_reduce,
+                              build_gather_reduce, maps_to_device)
         self._device_maps = {}
         for phase_key, linear_only in (("lin", True), ("nl", False)):
             r_slots, k_slots = collect_phase_slots(
@@ -243,8 +244,12 @@ class FEM_Domain:
                 entry["r"] = maps_to_device(build_gather_reduce(
                     r_slots, self.pattern.basicfield_size))
             if k_slots is not None:
-                entry["k"] = maps_to_device(build_gather_reduce(
-                    k_slots, self.pattern.n_storage))
+                gr, touched = build_compact_gather_reduce(
+                    k_slots, self.pattern.n_storage)
+                entry["k"] = maps_to_device(gr)
+                if touched is not None:
+                    entry["k_touched"] = jnp.asarray(
+                        touched.astype(np.int32))
             self._device_maps[phase_key] = entry
         self.update_mesh()
         if self.linear_solver is None:

@@ -83,6 +83,24 @@ def build_gather_reduce(slots: np.ndarray, num: int,
                         overflow_dst=overflow_dst)
 
 
+def build_compact_gather_reduce(slots: np.ndarray, num: int,
+                                cap: int = 8,
+                                compact_threshold: float = 0.2):
+    """Like build_gather_reduce, but when the touched slots are a small
+    fraction of ``num`` (e.g. boundary-only nonlinear tangent blocks), the
+    reduction runs over the compact touched set and is expanded to full
+    size by one tiny scatter — instead of iterating every output slot.
+
+    Returns (GatherReduce over compact slots, touched np.ndarray | None).
+    ``touched is None`` means the map is full-size."""
+    slots = np.asarray(slots)
+    touched = np.unique(slots)
+    if touched.size > compact_threshold * num:
+        return build_gather_reduce(slots, num, cap), None
+    compact = np.searchsorted(touched, slots)
+    return build_gather_reduce(compact, touched.size, cap), touched
+
+
 def maps_to_device(gr: Optional[GatherReduce]) -> Optional[dict]:
     """Upload a GatherReduce's index arrays once; passing them through the
     state pytree keeps them out of the compiled program's constants (which

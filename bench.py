@@ -66,8 +66,8 @@ def main():
 
     dom.converge_tol = 5e-4
     from metafem.linsolve import krylov
-    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=400,
-                                max_newton=3)
+    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=200,
+                                max_newton=2)
     state = dom._runtime_state()
 
     # data-dependent chain of FULL Newton steps (assembly + Krylov solve).
@@ -92,12 +92,12 @@ def main():
         float(chained(state, x1))          # host readback forces the run
         return time.perf_counter() - t0
 
-    n1, n2 = 1, 5
+    n1, n2 = 1, 3
     c1, c2 = make_chain(n1), make_chain(n2)
-    timed(c1, 1e-7)                        # compile + warm both
-    timed(c2, 2e-7)
-    t1 = timed(c1, 3e-7)
-    t2 = timed(c2, 4e-7)
+    timed(c1, 1e-4)                        # compile + warm both
+    timed(c2, 2e-4)
+    t1 = timed(c1, 3e-4)
+    t2 = timed(c2, 4e-4)
     dt = max((t2 - t1) / (n2 - n1), 1e-9)
 
     dofs_per_sec = dom.pattern.basicfield_size / dt

@@ -81,15 +81,16 @@ def build_global_pattern(meshes: List[WPMesh],
     wp_metas = []
     sparse_entry = 0
     for mesh, la, info in zip(meshes, assemblies, wp_infos):
+        from ..native import unique_pairs
         el_cp = mesh.el_cp                                   # [E, na]
-        keys = (el_cp[:, :, None].astype(np.int64) * mesh.n_cp
-                + el_cp[:, None, :].astype(np.int64))        # [E, na, na]
-        uniq, inv = np.unique(keys.ravel(), return_inverse=True)
-        info.pair_slot = inv.reshape(keys.shape).astype(np.int32)
-        info.unitsize = len(uniq)
+        na = el_cp.shape[1]
+        ci_all = np.repeat(el_cp, na, axis=1).ravel().astype(np.int64)
+        cj_all = np.tile(el_cp, (1, na)).ravel().astype(np.int64)
+        ci, cj, inv = unique_pairs(ci_all, cj_all, mesh.n_cp)
+        info.pair_slot = inv.reshape(
+            (el_cp.shape[0], na, na)).astype(np.int32)
+        info.unitsize = len(ci)
         info.sparse_entry = sparse_entry
-        ci = (uniq // mesh.n_cp).astype(np.int64)
-        cj = (uniq % mesh.n_cp).astype(np.int64)
         for (dual_pos, base_pos), _u in sorted(la.sparse_mapping.items(),
                                                key=lambda kv: kv[1]):
             rows_parts.append(info.dof_offset + dual_pos * mesh.n_cp + ci)

@@ -57,30 +57,11 @@ def build_gather_reduce(slots: np.ndarray, num: int,
                         cap: int = 8) -> GatherReduce:
     """Invert a contribution->slot map.  ``slots``: [N] target slot per
     contribution (all in [0, num))."""
+    from ..native import invert_map
     slots = np.asarray(slots)
-    n = slots.size
-    order = np.argsort(slots, kind="stable")
-    sorted_slots = slots[order]
-    counts = np.bincount(slots, minlength=num)
-    starts = np.zeros(num + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    col = np.arange(n, dtype=np.int64) - starts[sorted_slots]
-
-    k = int(min(counts.max() if n else 0, cap))
-    k = max(k, 1)
-    in_map = col < k
-    gmap = np.full((num, k), n, dtype=np.int32)
-    gmap[sorted_slots[in_map], col[in_map]] = order[in_map]
-
-    of = ~in_map
-    if of.any():
-        overflow_src = order[of].astype(np.int32)
-        overflow_dst = sorted_slots[of].astype(np.int32)
-    else:
-        overflow_src = overflow_dst = None
-    return GatherReduce(num=num, n_data=n, gmap=gmap,
-                        overflow_src=overflow_src,
-                        overflow_dst=overflow_dst)
+    gmap, of_src, of_dst, _k = invert_map(slots, num, cap)
+    return GatherReduce(num=num, n_data=slots.size, gmap=gmap,
+                        overflow_src=of_src, overflow_dst=of_dst)
 
 
 def build_compact_gather_reduce(slots: np.ndarray, num: int,

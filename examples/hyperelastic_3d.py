@@ -83,7 +83,7 @@ def run_loading(dom, wp, mu, lam, total_steps, sigma_step, verbose=False):
     dom.x = dom.x * 0.0
     dom.dessemble_x()
     P1s, d1s = [], []
-    L = mesh.cp_coords[:, 0].max()
+    L = np.nanmax(mesh.cp_coords[:, 0])
     right = mesh.cp_coords[:, 0] > L - 1e-9
     for step in range(1, total_steps + 1):
         sigma = sigma_step * step

@@ -146,7 +146,7 @@ def run_load_sequence(dom, wp, p, s_tests, Y_initial, Eb, Ep,
     dom.t = 0.0
     dom.dt = 1.0
     dom.dessemble_x()
-    L = mesh.cp_coords[:, 0].max()
+    L = np.nanmax(mesh.cp_coords[:, 0])
     right = mesh.cp_coords[:, 0] > L - 1e-9
     d1s = []
     for s in s_tests:

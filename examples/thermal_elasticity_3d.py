@@ -92,7 +92,7 @@ if __name__ == "__main__":
     dom, wp = build(e_number=4)
     steps = run_to_steady(dom, wp, verbose=True)
     mesh = dom.workpieces[wp].mesh
-    tip = mesh.cp_coords[:, 0] > mesh.cp_coords[:, 0].max() - 1e-9
+    tip = mesh.cp_coords[:, 0] > np.nanmax(mesh.cp_coords[:, 0]) - 1e-9
     print(f"steady after {steps} steps; tip d2 mean = "
           f"{mesh.fields['d2'][tip].mean():.4f}, "
           f"T range = [{mesh.fields['T'].min():.1f}, "

@@ -106,17 +106,26 @@ def write_vtk(path: str, mesh: WPMesh, element_type: ElementType,
     cell_type, perm = _node_permutation(element_type)
     coords = np.asarray(mesh.cp_coords, dtype=float)
     dim = coords.shape[1]
+    el_cp = mesh.el_cp
+    field_data = mesh.fields
+    occ = mesh.is_occupied
+    if occ is not None and not occ.all():
+        # compact away ghost lattice slots (cells never reference them)
+        compact = np.cumsum(occ) - 1
+        coords = coords[occ]
+        el_cp = compact[el_cp]
+        field_data = {k: np.asarray(v)[occ] for k, v in mesh.fields.items()}
     if shift_field is not None:
-        shift = np.stack([mesh.fields[f"{shift_field}{d + 1}"]
+        shift = np.stack([field_data[f"{shift_field}{d + 1}"]
                           for d in range(dim)], axis=1)
         coords = coords + shift_scale * shift
     pts = np.zeros((len(coords), 3))
     pts[:, :dim] = coords
-    cells = mesh.el_cp[:, perm]
+    cells = el_cp[:, perm]
     n_el, npc = cells.shape
 
     if fields is None:
-        fields = [k for k in mesh.fields if k not in _COORD_FIELDS]
+        fields = [k for k in field_data if k not in _COORD_FIELDS]
 
     with open(path, "w") as f:
         f.write("# vtk DataFile Version 3.0\nmetafem output\nASCII\n")
@@ -131,4 +140,4 @@ def write_vtk(path: str, mesh: WPMesh, element_type: ElementType,
         f.write(f"\nPOINT_DATA {len(pts)}\n")
         for name in fields:
             f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
-            np.savetxt(f, np.asarray(mesh.fields[name]), fmt="%.12g")
+            np.savetxt(f, np.asarray(field_data[name]), fmt="%.12g")

@@ -33,16 +33,29 @@ class BoundaryGroup:
 @dataclasses.dataclass
 class WPMesh:
     """Per-workpiece runtime mesh (host numpy; device copies made at
-    assembly compile time)."""
+    assembly compile time).
+
+    ``is_occupied``: on lattice-numbered meshes (see build_wp_mesh) some
+    control-point slots are ghosts — never referenced by any element,
+    coordinates NaN, fields zero; the analog of the reference's
+    is_occupied mask (misc/05_GPU_Table.jl).  Ghost DOF rows are
+    diagonally regularized in K and stay exactly zero."""
     dim: int
-    cp_coords: np.ndarray               # [n_cp, dim]
+    cp_coords: np.ndarray               # [n_cp, dim] (NaN for ghosts)
     el_cp: np.ndarray                   # [n_el, n_itp] control-point ids
     boundary_groups: Dict[int, BoundaryGroup]
     fields: Dict[str, np.ndarray]       # named per-cp columns (T, s, ...)
+    is_occupied: np.ndarray = None      # [n_cp] bool
 
     @property
     def n_cp(self) -> int:
         return len(self.cp_coords)
+
+    @property
+    def n_occupied(self) -> int:
+        if self.is_occupied is None:
+            return self.n_cp
+        return int(self.is_occupied.sum())
 
     @property
     def n_el(self) -> int:
@@ -83,6 +96,44 @@ def _dedup_positions(pos: np.ndarray, tol: float):
                        "closer than the dedup tolerance")
 
 
+def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
+                           max_inflation: float = 4.0):
+    """If every control point quantizes to a regular per-axis lattice with
+    acceptable inflation, renumber row-major over the full lattice (ghost
+    slots where no cp exists).  Returns (gid, coords, occupied)."""
+    n_real, dim = rep.shape
+    axes = []
+    for d in range(dim):
+        coords = np.unique(np.round(rep[:, d] / tol).astype(np.int64))
+        if len(coords) < 2:
+            return gid, rep, np.ones(n_real, dtype=bool)
+        diffs = np.diff(coords)
+        h = diffs.min()
+        if h <= 0:
+            return gid, rep, np.ones(n_real, dtype=bool)
+        # every coordinate must be an integer multiple of h from the min
+        k = (coords - coords[0]) / h
+        if np.abs(k - np.round(k)).max() > 0.25:
+            return gid, rep, np.ones(n_real, dtype=bool)
+        axes.append((coords[0], h, int(np.round(k[-1])) + 1))
+    lattice_size = int(np.prod([a[2] for a in axes]))
+    if lattice_size > max_inflation * n_real:
+        return gid, rep, np.ones(n_real, dtype=bool)
+
+    idx = np.zeros(n_real, dtype=np.int64)
+    for d, (c0, h, nd) in enumerate(axes):
+        kd = np.round((np.round(rep[:, d] / tol) - c0) / h).astype(np.int64)
+        idx = idx * nd + kd
+    if len(np.unique(idx)) != n_real:
+        return gid, rep, np.ones(n_real, dtype=bool)  # collision: bail
+
+    coords = np.full((lattice_size, rep.shape[1]), np.nan)
+    coords[idx] = rep
+    occupied = np.zeros(lattice_size, dtype=bool)
+    occupied[idx] = True
+    return idx[gid], coords, occupied
+
+
 def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
                   boundary_facets: Dict[int, np.ndarray]) -> WPMesh:
     """Generate high-order control points for all elements of ``geo`` and
@@ -102,6 +153,19 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
     tol = max(scale, 1e-300) * 1e-6 / max(et.order, 1)
 
     gid, rep = _dedup_positions(all_pos.reshape(-1, dim), tol)
+
+    # lattice renumbering: if the control points sit on a regular grid
+    # (structured meshes at any interpolation order do — half-step
+    # lattices for order 2 etc.), number them by lattice coordinates,
+    # KEEPING unoccupied lattice slots as ghost control points.  FEM
+    # matrix column-minus-row offsets then become exactly constant, which
+    # the block-offset sparse storage (linsolve/block_offset.py) turns
+    # into dense diagonal segments — stencil-speed instead of
+    # gather-speed SpMV on TPU.  Ghosts cost ~25-50% extra rows; their
+    # coordinates are NaN (coordinate-based selections skip them), their
+    # DOF rows are regularized with a unit diagonal and stay zero.
+    gid, rep, occupied = _try_lattice_numbering(gid, rep, tol)
+
     el_cp = gid.reshape(n_el, n_itp)
 
     groups: Dict[int, BoundaryGroup] = {}
@@ -118,4 +182,4 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
                                       eindex=eis.astype(np.int64))
 
     return WPMesh(dim=dim, cp_coords=rep, el_cp=el_cp.astype(np.int64),
-                  boundary_groups=groups, fields={})
+                  boundary_groups=groups, fields={}, is_occupied=occupied)

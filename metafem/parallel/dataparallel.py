@@ -94,6 +94,8 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
     out["wp"] = wps
     for k in ("x_star", "K_linear", "K_params"):
         out[k] = jax.device_put(state[k], rep)
+    if state.get("ghost_diag") is not None:
+        out["ghost_diag"] = jax.device_put(state["ghost_diag"], rep)
     if "user" in state:
         out["user"] = jax.tree_util.tree_map(
             lambda v: jax.device_put(jnp.asarray(v), rep), state["user"])

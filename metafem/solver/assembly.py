@@ -298,6 +298,9 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                 K = apply_device_maps(device_maps.get("k"),
                                       jnp.concatenate(k_vals),
                                       pattern.n_storage)
+            if linear_only and state.get("ghost_diag") is not None:
+                # unit diagonal on ghost (unoccupied lattice) DOF rows
+                K = K + state["ghost_diag"]
             return residue, K
 
         # fallback (e.g. externally re-sharded/padded states): build maps
@@ -316,6 +319,8 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                    else jnp.zeros(bfs, dtype))
         K = (k_map(jnp.concatenate(k_vals)) if k_map is not None
              else jnp.zeros(pattern.n_storage, dtype))
+        if linear_only and state.get("ghost_diag") is not None:
+            K = K + state["ghost_diag"]
         return residue, K
 
     def k_linear(state):

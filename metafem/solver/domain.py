@@ -251,9 +251,29 @@ class FEM_Domain:
                     entry["k_touched"] = jnp.asarray(
                         touched.astype(np.int32))
             self._device_maps[phase_key] = entry
+        self._ghost_diag = self._ghost_diag_vector()
         self.update_mesh()
         if self.linear_solver is None:
             self.linear_solver = self.make_iterative_solver()
+
+    def _ghost_diag_vector(self):
+        """Unit-diagonal regularizer for ghost (unoccupied lattice) DOF
+        rows; None when every control point is occupied."""
+        lo = self.pattern.offset_layout
+        vec = np.zeros(self.pattern.n_storage, dtype=np.float64)
+        any_ghost = False
+        for wp, info in zip(self.workpieces, self.pattern.wp_infos):
+            occ = wp.mesh.is_occupied
+            if occ is None or occ.all():
+                continue
+            any_ghost = True
+            ghost_cp = np.nonzero(~occ)[0]
+            for pos in range(info.n_vars):
+                rows = info.dof_offset + pos * info.n_cp + ghost_cp
+                vec[lo.diag_storage[rows]] = 1.0
+        if not any_ghost:
+            return None
+        return jnp.asarray(vec, dtype=self.dtype)
 
     def make_iterative_solver(self, sv_func=None, **kwargs) -> Callable:
         sv_func = sv_func or linsolve.krylov.bicgstab
@@ -315,6 +335,7 @@ class FEM_Domain:
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
         return {**self.state,
+                "ghost_diag": getattr(self, "_ghost_diag", None),
                 "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.n_storage, self.dtype),

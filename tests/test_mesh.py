@@ -135,7 +135,7 @@ def test_cp_generation_serendipity3d():
     # 2 hexes serendipity q2: vertices 3*2*2=12, edges: count unique edges
     # edges: x-dir 2*(2*2)=... easier: per-hex 8+12=20, shared face has
     # 4 vertices + 4 edge midpoints -> total = 40 - 8 = 32
-    assert wp.n_cp == 32
+    assert wp.n_occupied == 32
     assert wp.el_cp.shape == (2, 20)
 
 
@@ -159,7 +159,7 @@ def test_cp_generation_tet_order3_face_sharing():
         for f in ((0, 1, 2), (0, 1, 3), (1, 2, 3), (0, 2, 3)):
             faces.add(tuple(sorted(tet[list(f)])))
     expect = nv + 2 * len(edges) + len(faces)
-    assert wp.n_cp == expect
+    assert wp.n_occupied == expect
 
 
 def test_boundary_groups():

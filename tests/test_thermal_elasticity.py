@@ -23,8 +23,8 @@ class TestThermalElasticity:
         assert steps < 120  # reached the steady-state criterion
         mesh = dom.workpieces[wp].mesh
         c = mesh.cp_coords
-        L = c[:, 0].max()
-        h_beam = c[:, 1].max()
+        L = np.nanmax(c[:, 0])
+        h_beam = np.nanmax(c[:, 1])
         tip = c[:, 0] > L - 1e-9
         d2_tip = mesh.fields["d2"][tip].mean()
         # heated (y=0) side expands -> beam bends toward +y

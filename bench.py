@@ -66,7 +66,7 @@ def main():
 
     dom.converge_tol = 5e-4
     from metafem.linsolve import krylov
-    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=200,
+    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=600,
                                 max_newton=2)
     state = dom._runtime_state()
 

@@ -27,7 +27,7 @@ from .time_domain import initialize_dx, x_star_of
 
 def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                      maxiter: int = 2000, max_newton: int = 4,
-                     **sv_kwargs):
+                     max_pass: int = 2, **sv_kwargs):
     """Build ``step(state, x, t, dt) -> (x_new, dx, res, n_newton)``.
 
     ``state`` is the runtime pytree (geometry, fields, maps, user);
@@ -77,8 +77,16 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             residue, K_total = res_of(dx)
             A = OffsetMatrix.from_values(K_total, pattern.offset_layout)
             A, unscale = pr_jacobi(A, diag_pos)
-            delta, _, _ = sv_func(A, residue, tol=tol, maxiter=maxiter,
-                                  **sv_kwargs)
+            # restart passes with true-residual recomputation (the
+            # iterative_Solve! pattern; doubles as iterative refinement
+            # against f32 drift in the Krylov recurrences)
+            delta = jnp.zeros_like(residue)
+            rr = residue
+            for _ in range(max_pass):
+                d_i, _, _ = sv_func(A, rr, tol=tol, maxiter=maxiter,
+                                    **sv_kwargs)
+                delta = delta + d_i
+                rr = residue - A.mv(delta)
             delta = unscale(delta)
             dx = dx + beta[:, None] * (-delta)[None, :]  # update_dx!
             residue2, _ = res_of(dx)

@@ -106,12 +106,16 @@ def build_offset_layout(wp_metas, nnz: int,
                 if pd == pb and d == 0:
                     diag_info.append((row0, n_cp, base))
                 base += n_cp
-            # map this unit's slots
+            # map this unit's slots (one vectorized pass: offset ->
+            # dense segment base via searchsorted)
             slot0 = m["sparse_entry"] + u * m["unitsize"]
             slots = slot0 + np.arange(ci.size, dtype=np.int64)
-            for d, k in dense_set.items():
-                sel = d_all == d
-                storage_of_slot[slots[sel]] = u_base[d] + ci[sel]
+            if dense_set:
+                sorted_d = np.asarray(sorted(dense_set))
+                bases = np.asarray([u_base[d] for d in sorted_d])
+                pos = np.searchsorted(sorted_d, d_all)
+                storage_of_slot[slots[is_dense]] = (
+                    bases[pos[is_dense]] + ci[is_dense])
             if (~is_dense).any():
                 sel = ~is_dense
                 coo_rows_parts.append(row0 + ci[sel].astype(np.int64))

@@ -281,7 +281,7 @@ class FEM_Domain:
         kwargs.setdefault("max_pass", 10)
 
         def solve(A, b):
-            return iterative_solve(A, b, self.pattern.diag_pos,
+            return iterative_solve(A, b, None,
                                    converge_tol=self.converge_tol,
                                    sv_func=sv_func, **kwargs)
         return solve

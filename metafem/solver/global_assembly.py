@@ -45,15 +45,48 @@ class GlobalPattern:
     nnz: int
     coo_rows: np.ndarray            # [nnz] int32 (COO slot order)
     coo_cols: np.ndarray            # [nnz]
-    csr_perm: np.ndarray            # [nnz] COO slot ids in CSR order
-    rows_sorted: np.ndarray         # [nnz] = coo_rows[csr_perm]
-    cols_sorted: np.ndarray         # [nnz]
-    row_ptr: np.ndarray             # [basicfield_size + 1]
-    diag_pos: np.ndarray            # [basicfield_size] CSR position of the
-    #                                 diagonal entry, -1 if absent
     #: block-offset storage (TPU-native; see linsolve/block_offset.py) —
     #: K buffers are sized n_storage and indexed via slot_storage()
     offset_layout: object = None
+    #: CSR view (perm / sorted rows+cols / row_ptr / diag positions) is
+    #: built lazily — the runtime path works in block-offset storage and
+    #: never needs it
+    _csr: object = dataclasses.field(default=None, repr=False)
+
+    def _build_csr(self):
+        if self._csr is None:
+            order = np.lexsort((self.coo_cols, self.coo_rows))
+            rows_sorted = self.coo_rows[order]
+            cols_sorted = self.coo_cols[order]
+            row_ptr = np.zeros(self.basicfield_size + 1, dtype=np.int64)
+            np.add.at(row_ptr, rows_sorted.astype(np.int64) + 1, 1)
+            row_ptr = np.cumsum(row_ptr)
+            diag_pos = np.full(self.basicfield_size, -1, dtype=np.int64)
+            hits = rows_sorted == cols_sorted
+            diag_pos[rows_sorted[hits]] = np.nonzero(hits)[0]
+            self._csr = (order.astype(np.int32), rows_sorted, cols_sorted,
+                         row_ptr, diag_pos)
+        return self._csr
+
+    @property
+    def csr_perm(self):
+        return self._build_csr()[0]
+
+    @property
+    def rows_sorted(self):
+        return self._build_csr()[1]
+
+    @property
+    def cols_sorted(self):
+        return self._build_csr()[2]
+
+    @property
+    def row_ptr(self):
+        return self._build_csr()[3]
+
+    @property
+    def diag_pos(self):
+        return self._build_csr()[4]
 
     @property
     def n_storage(self) -> int:
@@ -111,17 +144,6 @@ def build_global_pattern(meshes: List[WPMesh],
         coo_rows = np.zeros(0, np.int64)
         coo_cols = np.zeros(0, np.int64)
 
-    order = np.lexsort((coo_cols, coo_rows))
-    rows_sorted = coo_rows[order]
-    cols_sorted = coo_cols[order]
-    row_ptr = np.zeros(basicfield_size + 1, dtype=np.int64)
-    np.add.at(row_ptr, rows_sorted + 1, 1)
-    row_ptr = np.cumsum(row_ptr)
-
-    diag_pos = np.full(basicfield_size, -1, dtype=np.int64)
-    hits = rows_sorted == cols_sorted
-    diag_pos[rows_sorted[hits]] = np.nonzero(hits)[0]
-
     from ..linsolve.block_offset import build_offset_layout
     offset_layout = build_offset_layout(wp_metas, nnz)
 
@@ -130,11 +152,7 @@ def build_global_pattern(meshes: List[WPMesh],
         basicfield_size=basicfield_size, max_time_level=max_time_level,
         wp_infos=wp_infos, nnz=nnz,
         coo_rows=coo_rows.astype(np.int32),
-        coo_cols=coo_cols.astype(np.int32),
-        csr_perm=order.astype(np.int32),
-        rows_sorted=rows_sorted.astype(np.int32),
-        cols_sorted=cols_sorted.astype(np.int32),
-        row_ptr=row_ptr, diag_pos=diag_pos)
+        coo_cols=coo_cols.astype(np.int32))
 
 
 def assemble_x(meshes: List[WPMesh], assemblies: List[LocalAssembly],

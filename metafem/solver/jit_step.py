@@ -41,7 +41,7 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     alpha = tuple(ga.alpha_params)
     tol = float(domain.converge_tol)
     L = pattern.max_time_level
-    diag_pos = pattern.diag_pos
+    diag_pos = None  # OffsetMatrix.diag() is position-free
     res_k = domain._res_k.__wrapped__
     k_linear = domain._k_linear.__wrapped__
     sqrt_n = np.sqrt(pattern.basicfield_size)

@@ -75,11 +75,16 @@ def build_compact_gather_reduce(slots: np.ndarray, num: int,
     Returns (GatherReduce over compact slots, touched np.ndarray | None).
     ``touched is None`` means the map is full-size."""
     slots = np.asarray(slots)
-    touched = np.unique(slots)
-    if touched.size > compact_threshold * num:
+    # O(N) touched-set detection (np.unique would sort 1e8+ entries)
+    counts = np.bincount(slots, minlength=num)
+    touched_mask = counts > 0
+    n_touched = int(touched_mask.sum())
+    if n_touched > compact_threshold * num:
         return build_gather_reduce(slots, num, cap), None
-    compact = np.searchsorted(touched, slots)
-    return build_gather_reduce(compact, touched.size, cap), touched
+    rank = np.cumsum(touched_mask) - 1
+    compact = rank[slots]
+    touched = np.nonzero(touched_mask)[0]
+    return build_gather_reduce(compact, n_touched, cap), touched
 
 
 def maps_to_device(gr: Optional[GatherReduce]) -> Optional[dict]:

@@ -33,8 +33,19 @@ import numpy as np
 from .spmv import SparseMatrix
 
 
+def _dot(a, b):
+    """Inner product with f64 accumulation for f32 vectors: the Krylov
+    recurrences break down at ~1e6 DOF when the dots cancel in f32 (the
+    'f32 storage + f64 reductions' strategy from the survey's precision
+    plan).  Result cast back so vector arithmetic stays in f32."""
+    if a.dtype == jnp.float32:
+        return jnp.vdot(a.astype(jnp.float64),
+                        b.astype(jnp.float64)).astype(jnp.float32)
+    return jnp.vdot(a, b)
+
+
 def _norm(v):
-    return jnp.sqrt(jnp.vdot(v, v))
+    return jnp.sqrt(_dot(v, v))
 
 
 def _nn(v):
@@ -55,7 +66,7 @@ def _modify_omega(t, r):
     """Omega angle stabilization (modify_Omega, 04_IDRs.jl:1-8)."""
     angle = np.sqrt(2.0) / 2.0
     tn, rn = _norm(t), _norm(r)
-    tr = jnp.vdot(t, r)
+    tr = _dot(t, r)
     rho = jnp.abs(tr / jnp.where(tn * rn == 0, 1.0, tn * rn))
     omega = tr / jnp.where(tn == 0, 1.0, tn * tn)
     return jnp.where(rho < angle,
@@ -70,7 +81,7 @@ def _modify_omega(t, r):
 def cg(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
     x, r = _prep(A, b, x0, pl)
     p = r
-    rs = jnp.vdot(r, r)
+    rs = _dot(r, r)
 
     def cond(c):
         x, r, p, rs, i = c
@@ -79,10 +90,10 @@ def cg(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
     def body(c):
         x, r, p, rs, i = c
         Ap = _pl(pl, A.mv(p))
-        alpha = rs / jnp.vdot(p, Ap)
+        alpha = rs / _dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
+        rs_new = _dot(r, r)
         p = r + (rs_new / rs) * p
         return x, r, p, rs_new, i + 1
 
@@ -107,14 +118,14 @@ def bicgstab(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
 
     def body(c):
         x, r, p, v, rho, alpha, omega, i = c
-        rho_new = jnp.vdot(rt, r)
+        rho_new = _dot(rt, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         v = _pl(pl, A.mv(p))
-        alpha = rho_new / jnp.vdot(rt, v)
+        alpha = rho_new / _dot(rt, v)
         s = r - alpha * v
         t = _pl(pl, A.mv(s))
-        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        omega = _dot(t, s) / _dot(t, t)
         x = x + alpha * p + omega * s
         r = s - omega * t
         return x, r, p, v, rho_new, alpha, omega, i + 1
@@ -149,23 +160,23 @@ def bicgstabl(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
         rs = [r0] + [jnp.zeros_like(b) for _ in range(l)]
         us = [u0] + [jnp.zeros_like(b) for _ in range(l)]
         for j in range(l):  # BiCG part
-            rho1 = jnp.vdot(rt, rs[j])
+            rho1 = _dot(rt, rs[j])
             beta = alpha * rho1 / rho0
             rho0 = rho1
             for k in range(j + 1):
                 us[k] = rs[k] - beta * us[k]
             us[j + 1] = _pl(pl, A.mv(us[j]))
-            gamma = jnp.vdot(rt, us[j + 1])
+            gamma = _dot(rt, us[j + 1])
             alpha = rho0 / gamma
             for k in range(j + 1):
                 rs[k] = rs[k] - alpha * us[k + 1]
             rs[j + 1] = _pl(pl, A.mv(rs[j]))
             x = x + alpha * us[0]
         # MR part: minimize || rs[0] - sum_j gamma_j rs[j] ||
-        Z = jnp.stack([jnp.stack([jnp.vdot(rs[i_], rs[j_])
+        Z = jnp.stack([jnp.stack([_dot(rs[i_], rs[j_])
                                   for j_ in range(1, l + 1)])
                        for i_ in range(1, l + 1)])
-        z0 = jnp.stack([jnp.vdot(rs[0], rs[j_]) for j_ in range(1, l + 1)])
+        z0 = jnp.stack([_dot(rs[0], rs[j_]) for j_ in range(1, l + 1)])
         gam = jnp.linalg.solve(Z, z0)
         omega = gam[l - 1]
         u0_, r0_, x_ = us[0], rs[0], x
@@ -216,7 +227,7 @@ def idrs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
             u_k = q + omega * v
             g_k = _pl(pl, A.mv(u_k))
             for i2 in range(k):  # biorthogonalize against P[:k]
-                alpha = jnp.vdot(P[i2], g_k) / M[i2, i2]
+                alpha = _dot(P[i2], g_k) / M[i2, i2]
                 g_k = g_k - alpha * G[i2]
                 u_k = u_k - alpha * U[i2]
             G = G.at[k].set(g_k)
@@ -352,12 +363,12 @@ def cgs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
     def body(c):
         x, r, u, p, rho, alpha, i = c
         rhobar = rho
-        rho = jnp.vdot(r, r0)
+        rho = _dot(r, r0)
         beta = rho / rhobar
         s_ = r + beta * p
         u = s_ + beta * (p + beta * u)
         v = _pl(pl, A.mv(u))
-        alpha = rho / jnp.vdot(v, r0)
+        alpha = rho / _dot(v, r0)
         p = s_ - alpha * v
         x = x + alpha * (p + s_)
         r = _pl(pl, b - A.mv(x))
@@ -382,18 +393,18 @@ def cgs2(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
 
     def body(c):
         x, r, u, w, s_, (alpha, alphabar, sigma, sigmabar), i = c
-        rho = jnp.vdot(r, r0)
+        rho = _dot(r, r0)
         beta = (1.0 / alphabar) * rho / sigma
         v = r + beta * u
-        rhobar = jnp.vdot(r, s0)
+        rhobar = _dot(r, s0)
         betabar = (1.0 / alpha) * rhobar / sigmabar
         t = r + betabar * s_
         w = t + beta * (u + betabar * w)
         cv = _pl(pl, A.mv(w))
-        sigma = jnp.vdot(cv, r0)
+        sigma = _dot(cv, r0)
         alpha = rho / sigma
         s_ = t - alpha * cv
-        sigmabar = jnp.vdot(cv, s0)
+        sigmabar = _dot(cv, s0)
         alphabar = rhobar / sigmabar
         u = v - alphabar * cv
         x = x + alpha * v + alphabar * s_
@@ -425,7 +436,7 @@ def tfqmr(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
     d = jnp.zeros_like(b)
     tau = _norm(r)
     r_norm = tau
-    rho = jnp.vdot(r, r0)
+    rho = _dot(r, r0)
     theta = eta = jnp.asarray(0.0, b.dtype)
 
     def cond(c):
@@ -434,7 +445,7 @@ def tfqmr(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
 
     def body(c):
         x, r_cgs, p, u, v, d, tau, r_norm, rho, theta, eta, i = c
-        alpha = rho / jnp.vdot(v, r0)
+        alpha = rho / _dot(v, r0)
         q = u - alpha * v
         w = u + q
         r_cgs = r_cgs - alpha * _pl(pl, A.mv(w))
@@ -453,7 +464,7 @@ def tfqmr(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
         tau = tau * theta * cf
         eta = cf ** 2 * alpha
         x = x + eta * d
-        rho_new = jnp.vdot(r_cgs, r0)
+        rho_new = _dot(r_cgs, r0)
         beta = rho_new / rho
         u = r_cgs + beta * q
         p = u + beta * (q + beta * p)

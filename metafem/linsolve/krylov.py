@@ -64,7 +64,7 @@ def _prep(A: SparseMatrix, b, x0, pl):
 
 def _modify_omega(t, r):
     """Omega angle stabilization (modify_Omega, 04_IDRs.jl:1-8)."""
-    angle = np.sqrt(2.0) / 2.0
+    angle = float(np.sqrt(2.0) / 2.0)  # weak-typed: no f64 promotion
     tn, rn = _norm(t), _norm(r)
     tr = _dot(t, r)
     rho = jnp.abs(tr / jnp.where(tn * rn == 0, 1.0, tn * rn))

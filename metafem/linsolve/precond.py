@@ -34,13 +34,18 @@ def _row_norms(A: SparseMatrix) -> jnp.ndarray:
 
 def pr_jacobi(A, diag_pos: np.ndarray = None) -> Tuple[object, Callable]:
     """Right Jacobi: returns (scaled A, unscale) with A' = A diag(s),
-    x = diag(s) x'.  Works for any matrix with diag()/scale_cols()."""
-    d = jnp.abs(A.diag(diag_pos))
+    x = diag(s) x'.  Scales by the SIGNED diagonal (column norm / 1.0
+    fallback for zero diagonals), so the scaled diagonal is exactly +1 —
+    sign-mixed diagonals (e.g. -k-Laplacian rows next to +1 ghost rows)
+    would otherwise make the scaled system indefinite and break the
+    Krylov iterations (matches Pr_Jacobi!, 02_Preconditioner.jl:103-148,
+    which divides by the diagonal element, sign included)."""
+    d = A.diag(diag_pos)
     if hasattr(A, "cols"):
         fallback = _col_norms(A)
-        d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+        d = jnp.where(d != 0, d, jnp.where(fallback > 0, fallback, 1.0))
     else:
-        d = jnp.where(d > 0, d, 1.0)
+        d = jnp.where(d != 0, d, 1.0)
     s = 1.0 / d
     return A.scale_cols(s), lambda x: s * x
 
@@ -48,12 +53,12 @@ def pr_jacobi(A, diag_pos: np.ndarray = None) -> Tuple[object, Callable]:
 def pl_jacobi(A, diag_pos: np.ndarray = None) -> jnp.ndarray:
     """Left Jacobi diagonal: M^-1 v = s * v (row-norm fallback for zero
     diagonals); returned as the vector s consumed by krylov's ``pl``."""
-    d = jnp.abs(A.diag(diag_pos))
+    d = A.diag(diag_pos)
     if hasattr(A, "rows"):
         fallback = _row_norms(A)
-        d = jnp.where(d > 0, d, jnp.where(fallback > 0, fallback, 1.0))
+        d = jnp.where(d != 0, d, jnp.where(fallback > 0, fallback, 1.0))
     else:
-        d = jnp.where(d > 0, d, 1.0)
+        d = jnp.where(d != 0, d, 1.0)
     return 1.0 / d
 
 

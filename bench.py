@@ -66,8 +66,8 @@ def main():
 
     dom.converge_tol = 5e-4
     from metafem.linsolve import krylov
-    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=600,
-                                max_newton=2)
+    step = dom.make_jitted_step(sv_func=krylov.bicgstabl, s=4,
+                                maxiter=150, max_newton=2, max_pass=1)
     state = dom._runtime_state()
 
     # data-dependent chain of FULL Newton steps (assembly + Krylov solve).

@@ -1,0 +1,485 @@
+"""Lattice geometric multigrid — the TPU-native strong preconditioner.
+
+The reference's only strong preconditioner is ILU(0)
+(src/solver/linear_solver/02_Preconditioner.jl:179-193), whose sequential
+triangular solves are hostile to TPU.  Jacobi / polynomial substitutes
+(precond.py, poly.py) cap the achievable convergence: at 1M DOF the FEM
+tangent has condition number ~h^-2 ~ 1e6 and Jacobi-preconditioned Krylov
+stalls (PERFORMANCE.md).  This module supplies the capability the
+reference gets from ILU — an O(N) approximate inverse — in the form that
+actually fits the hardware: geometric multigrid on the control-point
+lattice.
+
+Why this is TPU-idiomatic: with lattice control-point numbering
+(mesh/fem_mesh.py) the tangent is a variable-coefficient *stencil*
+(block-offset storage, block_offset.py).  Every multigrid ingredient then
+lowers to dense strided slicing — no gathers, no scatters:
+
+- **Restriction / prolongation**: separable per-axis linear interpolation
+  between a lattice and its every-other-point sublattice; implemented
+  with strided slices + interleave, exact adjoints of each other.
+- **Galerkin coarse operators**: built *numerically by probing*.  The
+  coarse operator ``T = R A P`` is again a stencil of per-axis radius
+  ``r_c = (r_A + 2) // 2``.  Applying ``T`` to comb vectors (indicator of
+  lattice points with coords ≡ c mod m, ``m = 2 r_c + 1``) reads off
+  every stencil coefficient exactly: within any radius-``r_c`` window the
+  congruence class identifies the offset uniquely.  ``m^dim × channels``
+  operator applications per level — no symbolic RAP, works for any PDE,
+  any channel coupling, and recursively for all levels.
+- **Smoother**: damped point-Jacobi with the damping factor from a
+  power-iteration estimate of rho(D^-1 A) per level (4/3 / rho damps the
+  oscillatory half of the spectrum).  Ghost lattice rows carry a unit
+  diagonal (domain regularization) and smooth trivially.
+- **Coarsest level**: the stencil is materialized into a dense matrix
+  (static scatter indices) and LU-factorized once per setup — a few-k×
+  few-k dense solve on the MXU per V-cycle.
+
+The whole V-cycle is one jitted linear operator, used as a *right*
+preconditioner for the nonsymmetric Krylov menu (krylov.py):
+``solve(A∘M) then x = M y`` — residual norms are unchanged by right
+preconditioning so the existing stopping tests stay valid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block_offset import OffsetMatrix
+
+
+# ---------------------------------------------------------------------------
+# static hierarchy description
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MGHierarchy:
+    """Static (hashable) description of the multigrid hierarchy."""
+    dim: int
+    channels: int
+    shapes: Tuple[Tuple[int, ...], ...]   # level 0 = fine lattice
+    radius: int                           # stencil radius at levels >= 1
+    offsets: Tuple[Tuple[int, ...], ...]  # all offsets within radius
+    nu1: int = 2
+    nu2: int = 2
+    n_power: int = 10
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.shapes)
+
+    @property
+    def m(self) -> int:                   # colors per axis for probing
+        return 2 * self.radius + 1
+
+
+def _coarse_shape(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    return tuple((s + 1) // 2 for s in shape)
+
+
+def decompose_offsets(flat_offsets: np.ndarray,
+                      shape: Tuple[int, ...]) -> Optional[np.ndarray]:
+    """Decompose flat row-major offsets d = sum_a k_a * stride_a into
+    per-axis steps k (nearest decomposition).  Returns [n, dim] or None
+    if any offset fails to reconstruct (|k_a| must stay < shape[a]/2)."""
+    d = np.asarray(flat_offsets, dtype=np.int64).copy()
+    strides = np.cumprod((1,) + shape[:0:-1])[::-1]     # row-major
+    ks = np.zeros((d.size, len(shape)), dtype=np.int64)
+    for a, stride in enumerate(strides):
+        k = np.floor_divide(d + stride // 2, stride)    # round to nearest
+        ks[:, a] = k
+        d = d - k * stride
+    if (d != 0).any():
+        return None
+    for a, s in enumerate(shape):
+        if (np.abs(ks[:, a]) * 2 >= s).any():
+            return None
+    return ks
+
+
+def build_hierarchy(lattice_shape: Tuple[int, ...], channels: int,
+                    fine_radius: int, max_coarse: int = 2048,
+                    max_levels: int = 16, nu1: int = 2, nu2: int = 2,
+                    n_power: int = 10) -> MGHierarchy:
+    """Coarsen by 2 per axis until the dense-solve level is small."""
+    r_c = max(2, (fine_radius + 2) // 2)
+    shapes = [tuple(lattice_shape)]
+    while len(shapes) < max_levels:
+        nxt = _coarse_shape(shapes[-1])
+        if any(n < 3 for n in nxt) or nxt == shapes[-1]:
+            break
+        shapes.append(nxt)
+        if channels * int(np.prod(nxt)) <= max_coarse:
+            break
+    if len(shapes) < 2:
+        raise ValueError("multigrid: lattice too small to coarsen — use a "
+                         "direct or Jacobi-preconditioned solve instead")
+    offsets = tuple(itertools.product(range(-r_c, r_c + 1),
+                                      repeat=len(lattice_shape)))
+    return MGHierarchy(dim=len(lattice_shape), channels=channels,
+                      shapes=tuple(shapes), radius=r_c, offsets=offsets,
+                      nu1=nu1, nu2=nu2, n_power=n_power)
+
+
+def mask_for_domain(domain):
+    """Occupancy mask [n_cp] (1.0 real / 0.0 ghost) for the single
+    lattice workpiece, or None when every lattice slot is occupied.
+    Ghost slots carry a unit-diagonal regularizer of sign opposite to
+    the (typically negative-definite) PDE block; transfers must not mix
+    the two subspaces or the Galerkin coarse operator goes indefinite
+    and the V-cycle amplifies — so prolongation/restriction are masked
+    to the occupied subspace (P' = M P)."""
+    mesh = domain.workpieces[0].mesh
+    occ = mesh.is_occupied
+    if occ is None or occ.all():
+        return None
+    return jnp.asarray(occ.astype(np.float64), dtype=domain.dtype)
+
+
+def hierarchy_for_domain(domain, **kwargs) -> MGHierarchy:
+    """Build the hierarchy from a compiled FEM_Domain (single lattice
+    workpiece).  Raises with a clear message when not applicable."""
+    if len(domain.workpieces) != 1:
+        raise ValueError("multigrid preconditioner: single-workpiece "
+                         "domains only (got %d)" % len(domain.workpieces))
+    mesh = domain.workpieces[0].mesh
+    if mesh.lattice_shape is None:
+        raise ValueError("multigrid preconditioner requires lattice "
+                         "control-point numbering (structured mesh); this "
+                         "mesh did not qualify — use precond='jacobi'")
+    pattern = domain.pattern
+    n_cp = mesh.n_cp
+    # all cp-pair offsets present in the sparsity (dense segments + tail)
+    d_cp = np.unique((pattern.coo_cols.astype(np.int64) % n_cp)
+                     - (pattern.coo_rows.astype(np.int64) % n_cp))
+    ks = decompose_offsets(d_cp, mesh.lattice_shape)
+    if ks is None:
+        raise ValueError("multigrid preconditioner: sparsity offsets do "
+                         "not decompose on the lattice")
+    fine_radius = int(np.abs(ks).max())
+    n_vars = pattern.wp_infos[0].n_vars
+    assert pattern.basicfield_size == n_vars * n_cp
+    return build_hierarchy(mesh.lattice_shape, n_vars, fine_radius,
+                           **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# transfer operators (separable, strided slices; exact adjoints)
+# ---------------------------------------------------------------------------
+
+def _p_axis(c: jnp.ndarray, s_fine: int) -> jnp.ndarray:
+    """Linear prolongation along the last axis: [..., Sc] -> [..., S].
+    out[2j] = c[j]; out[2j+1] = (c[j] + c[j+1]) / 2 (c zero-padded)."""
+    n_odd = s_fine // 2
+    pad = [(0, 0)] * (c.ndim - 1) + [(0, 1)]
+    cpad = jnp.pad(c, pad)
+    odd = 0.5 * (c[..., :n_odd] + cpad[..., 1:n_odd + 1])
+    pairs = jnp.stack([c[..., :n_odd], odd], axis=-1)
+    out = pairs.reshape(c.shape[:-1] + (2 * n_odd,))
+    if s_fine % 2:
+        out = jnp.concatenate([out, c[..., -1:]], axis=-1)
+    return out
+
+
+def _r_axis(r: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of _p_axis along the last axis: [..., S] -> [..., Sc]."""
+    s_fine = r.shape[-1]
+    sc = (s_fine + 1) // 2
+    even = r[..., ::2]                      # [..., sc]
+    odd = r[..., 1::2]                      # [..., S//2]
+    n_odd = odd.shape[-1]
+    pad_r = [(0, 0)] * (r.ndim - 1) + [(0, sc - n_odd)]
+    term1 = jnp.pad(odd, pad_r)
+    pad_l = [(0, 0)] * (r.ndim - 1) + [(1, 0)]
+    term2 = jnp.pad(odd, pad_l)[..., :sc]
+    return even + 0.5 * (term1 + term2)
+
+
+def prolong(xc: jnp.ndarray, fine_shape: Tuple[int, ...]) -> jnp.ndarray:
+    """[C, *Sc] -> [C, *S] separable per-axis linear interpolation."""
+    x = xc
+    for a, s in enumerate(fine_shape):
+        x = jnp.moveaxis(_p_axis(jnp.moveaxis(x, a + 1, -1), s), -1, a + 1)
+    return x
+
+
+def restrict(xf: jnp.ndarray) -> jnp.ndarray:
+    """[C, *S] -> [C, *Sc]; exact adjoint of prolong."""
+    x = xf
+    for a in range(x.ndim - 1):
+        x = jnp.moveaxis(_r_axis(jnp.moveaxis(x, a + 1, -1)), -1, a + 1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# stencil operator application (levels >= 1)
+# ---------------------------------------------------------------------------
+
+def _stencil_mv(coefs: jnp.ndarray, x: jnp.ndarray,
+                offsets: Tuple[Tuple[int, ...], ...],
+                radius: int) -> jnp.ndarray:
+    """y[ci, r] = sum_{o, cj} coefs[o, ci, cj, r] * x[cj, r + o].
+
+    coefs: [n_off, C, C, *S]; x: [C, *S].  Pure shifted multiply-adds on
+    dense arrays (pad + static slice) — HBM-bandwidth work, no gathers."""
+    C = x.shape[0]
+    spatial = x.shape[1:]
+    pad = [(0, 0)] + [(radius, radius)] * len(spatial)
+    xp = jnp.pad(x, pad)
+    y = jnp.zeros_like(x)
+    for i, off in enumerate(offsets):
+        sl = tuple(slice(radius + o, radius + o + s)
+                   for o, s in zip(off, spatial))
+        xs = xp[(slice(None),) + sl]                       # [C, *S]
+        y = y + jnp.einsum("ij...,j...->i...", coefs[i], xs)
+    return y
+
+
+def _stencil_diag(coefs: jnp.ndarray, offsets, C: int) -> jnp.ndarray:
+    i0 = offsets.index(tuple([0] * (coefs.ndim - 3)))
+    d0 = coefs[i0]                                          # [C, C, *S]
+    return jnp.stack([d0[c, c] for c in range(C)])          # [C, *S]
+
+
+def _stencil_to_dense(coefs: jnp.ndarray, shape: Tuple[int, ...],
+                      offsets, C: int) -> jnp.ndarray:
+    """Materialize the coarsest stencil as a dense [N, N] matrix using
+    statically precomputed scatter indices (flat dof = c*P + lattice)."""
+    P = int(np.prod(shape))
+    N = C * P
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    flat = np.zeros(shape, dtype=np.int64)
+    for g, s in zip(grids, np.cumprod((1,) + shape[:0:-1])[::-1]):
+        flat = flat + g * s
+    rows_l, cols_l, oi_l, ci_l, cj_l = [], [], [], [], []
+    for i, off in enumerate(offsets):
+        ok = np.ones(shape, dtype=bool)
+        for a, o in enumerate(off):
+            idx = grids[a] + o
+            ok &= (idx >= 0) & (idx < shape[a])
+        r = flat[ok]
+        stride = np.cumprod((1,) + shape[:0:-1])[::-1]
+        c = r + sum(o * s for o, s in zip(off, stride))
+        for ci in range(C):
+            for cj in range(C):
+                rows_l.append(ci * P + r)
+                cols_l.append(cj * P + c)
+                oi_l.append(np.full(r.size, i))
+                ci_l.append(np.full(r.size, ci))
+                cj_l.append(np.full(r.size, cj))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    # gather the coefficient values: coefs[oi, ci, cj, flat spatial]
+    oi = np.concatenate(oi_l)
+    ci = np.concatenate(ci_l)
+    cj = np.concatenate(cj_l)
+    sp = np.concatenate([rows_l[k] % P for k in range(len(rows_l))])
+    vals = coefs.reshape(coefs.shape[:3] + (P,))[oi, ci, cj, sp]
+    dense = jnp.zeros((N, N), coefs.dtype).at[rows, cols].add(vals)
+    return dense
+
+
+# ---------------------------------------------------------------------------
+# setup: probing + smoother calibration + coarsest factorization
+# ---------------------------------------------------------------------------
+
+def _apply_level(hier: MGHierarchy, state, level: int,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """Apply the level operator to x [C, *S_level]."""
+    if level == 0:
+        A: OffsetMatrix = state[0]["A"]
+        return A.mv(x.reshape(-1)).reshape(x.shape)
+    return _stencil_mv(state[level]["coefs"], x, hier.offsets, hier.radius)
+
+
+def _color_index(shape: Tuple[int, ...], off: Tuple[int, ...],
+                 m: int) -> np.ndarray:
+    """Static int array: color id of (r + off) mod m at each point r."""
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    idx = np.zeros(shape, dtype=np.int32)
+    for g, o in zip(grids, off):
+        idx = idx * m + ((g + o) % m)
+    return idx
+
+
+def _masked_prolong(hier, state, level, xc):
+    """P' v = M_level P v: prolong to ``level``, zero ghost slots."""
+    x = prolong(xc, hier.shapes[level])
+    mask = state[level].get("mask")
+    return x if mask is None else x * mask
+
+
+def _masked_restrict(hier, state, level, xf):
+    """R' r = P'^T r = restrict(M_level r) (exact adjoint of above)."""
+    mask = state[level].get("mask")
+    return restrict(xf if mask is None else xf * mask)
+
+
+def _probe_level(hier: MGHierarchy, state, level: int,
+                 dtype) -> jnp.ndarray:
+    """Galerkin coarse stencil for ``level+1`` by probing R A_level P."""
+    C, m = hier.channels, hier.m
+    s_coarse = hier.shapes[level + 1]
+    colors = list(itertools.product(range(m), repeat=hier.dim))
+    n_colors = len(colors)
+
+    # comb vectors on the coarse lattice, one per (channel, color)
+    grids = np.meshgrid(*[np.arange(s) for s in s_coarse], indexing="ij")
+    combs = []
+    for col in colors:
+        mask = np.ones(s_coarse, dtype=bool)
+        for g, c in zip(grids, col):
+            mask &= (g % m) == c
+        combs.append(mask)
+    combs = jnp.asarray(np.stack(combs), dtype=dtype)     # [ncol, *Sc]
+
+    def probe_one(v_coarse):                              # [C, *Sc]
+        return _masked_restrict(
+            hier, state, level,
+            _apply_level(hier, state, level,
+                         _masked_prolong(hier, state, level, v_coarse)))
+
+    # batch over (channel cj, color): build [C*ncol, C, *Sc] inputs
+    eye = jnp.eye(C, dtype=dtype)                         # [C, C]
+    probes = jnp.einsum("jc,k...->jkc...", eye, combs)    # [Cj,ncol,C,*Sc]
+    probes = probes.reshape((C * n_colors, C) + s_coarse)
+    t_all = jax.vmap(probe_one)(probes)                   # [Cj*ncol,Ci,*Sc]
+    t_all = t_all.reshape((C, n_colors, C) + s_coarse)    # [Cj,ncol,Ci,*Sc]
+
+    coef_list = []
+    for off in hier.offsets:
+        cidx = jnp.asarray(_color_index(s_coarse, off, m))  # [*Sc]
+        # coef[ci, cj, r] = t_all[cj, cidx[r], ci, r]
+        sel = jnp.take_along_axis(
+            t_all, cidx[None, None, None, ...].astype(jnp.int32), axis=1
+        )[:, 0]                                            # [Cj, Ci, *Sc]
+        coef_list.append(jnp.swapaxes(sel, 0, 1))          # [Ci, Cj, *Sc]
+    return jnp.stack(coef_list)            # [n_off, Ci, Cj, *Sc]
+
+
+def _calibrate(hier, state, level, dtype):
+    """Power-iteration estimate of rho(D^-1 A); damped-Jacobi omega."""
+    shape = (hier.channels,) + hier.shapes[level]
+    inv_d = state[level]["inv_diag"]
+    v = jax.random.normal(jax.random.PRNGKey(3 + level), shape, dtype)
+    v = v / jnp.linalg.norm(v)
+
+    def body(v, _):
+        w = inv_d * _apply_level(hier, state, level, v)
+        lam = jnp.linalg.norm(w)
+        return w / jnp.where(lam == 0, 1.0, lam), lam
+
+    v, lams = jax.lax.scan(body, v, None, length=hier.n_power)
+    lam = lams[-1] * 1.1                   # safety headroom
+    return (4.0 / 3.0) / jnp.where(lam == 0, 1.0, lam)
+
+
+def _safe_inv(d):
+    return jnp.where(d == 0, 0.0, 1.0 / jnp.where(d == 0, 1.0, d))
+
+
+def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
+             mask: Optional[jnp.ndarray] = None) -> tuple:
+    """Build the jittable V-cycle state (a pytree) from the assembled
+    fine operator.  Called once per tangent (per Newton iteration).
+
+    ``mask``: flat [n_cp] occupancy (1.0 real / 0.0 ghost) or None; see
+    mask_for_domain.  Coarser masks are formed by injection (a coarse
+    point is real iff its co-located fine point is)."""
+    dtype = A.vals.dtype
+    C = hier.channels
+    state: List[dict] = [{"A": A}]
+    if mask is not None:
+        # only level 0 has a ghost subspace; coarser (Galerkin) operators
+        # are built from masked transfers and live in the real subspace.
+        # A coarse point whose injection site is a fine ghost still
+        # carries a legitimate (masked-hat) basis function.
+        state[0]["mask"] = mask.reshape((1,) + hier.shapes[0]).astype(dtype)
+    d0 = A.diag().reshape((C,) + hier.shapes[0])
+    state[0]["inv_diag"] = _safe_inv(d0)
+    state[0]["omega"] = _calibrate(hier, state, 0, dtype)
+
+    for level in range(1, hier.n_levels):
+        coefs = _probe_level(hier, state, level - 1, dtype)
+        entry = {"coefs": coefs,
+                 "inv_diag": _safe_inv(
+                     _stencil_diag(coefs, list(hier.offsets), C))}
+        state.append(entry)
+        if level < hier.n_levels - 1:
+            entry["omega"] = _calibrate(hier, state, level, dtype)
+
+    # coarsest: dense LU (regularize all-zero rows to identity)
+    last = hier.n_levels - 1
+    dense = _stencil_to_dense(state[last]["coefs"], hier.shapes[last],
+                              list(hier.offsets), C)
+    diag = jnp.diagonal(dense)
+    dense = dense + jnp.diag(jnp.where(diag == 0, 1.0, 0.0).astype(dtype))
+    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    state[last]["lu"] = (lu, piv)
+    return tuple(state)
+
+
+# ---------------------------------------------------------------------------
+# the V-cycle
+# ---------------------------------------------------------------------------
+
+def _smooth(hier, state, level, x, b, n):
+    inv_d = state[level]["inv_diag"]
+    om = state[level]["omega"]
+    for _ in range(n):
+        x = x + om * inv_d * (b - _apply_level(hier, state, level, x))
+    return x
+
+
+def _vcycle_level(hier, state, level, b):
+    if level == hier.n_levels - 1:
+        lu, piv = state[level]["lu"]
+        x = jax.scipy.linalg.lu_solve((lu, piv), b.reshape(-1))
+        return x.reshape(b.shape)
+    inv_d = state[level]["inv_diag"]
+    om = state[level]["omega"]
+    x = om * inv_d * b
+    x = _smooth(hier, state, level, x, b, hier.nu1 - 1)
+    r = b - _apply_level(hier, state, level, x)
+    xc = _vcycle_level(hier, state, level + 1,
+                       _masked_restrict(hier, state, level, r))
+    x = x + _masked_prolong(hier, state, level, xc)
+    return _smooth(hier, state, level, x, b, hier.nu2)
+
+
+def vcycle(hier: MGHierarchy, state: tuple, b: jnp.ndarray) -> jnp.ndarray:
+    """One V(nu1, nu2) cycle on the flat residual vector: M b ~= A^-1 b."""
+    shape = (hier.channels,) + hier.shapes[0]
+    return _vcycle_level(hier, state, 0, b.reshape(shape)).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Krylov integration: right-preconditioned operator
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MGOperator:
+    """A ∘ M as a matrix-like operator for the Krylov menu: solve
+    (A M) y = b with any krylov.* solver, then x = M y (vcycle)."""
+    A: OffsetMatrix
+    state: tuple
+    hier: MGHierarchy                     # static
+
+    def tree_flatten(self):
+        return (self.A, self.state), (self.hier,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    def mv(self, v: jnp.ndarray) -> jnp.ndarray:
+        return self.A.mv(vcycle(self.hier, self.state, v))
+
+    def apply_m(self, y: jnp.ndarray) -> jnp.ndarray:
+        return vcycle(self.hier, self.state, y)

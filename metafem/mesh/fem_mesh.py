@@ -46,6 +46,11 @@ class WPMesh:
     boundary_groups: Dict[int, BoundaryGroup]
     fields: Dict[str, np.ndarray]       # named per-cp columns (T, s, ...)
     is_occupied: np.ndarray = None      # [n_cp] bool
+    #: per-axis lattice sizes when lattice numbering succeeded (cp id =
+    #: row-major index over this grid, axis 0 slowest); None otherwise.
+    #: Consumed by the geometric-multigrid preconditioner
+    #: (linsolve/multigrid.py) and by any stencil-aware fast path.
+    lattice_shape: tuple = None
 
     @property
     def n_cp(self) -> int:
@@ -100,38 +105,39 @@ def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
                            max_inflation: float = 4.0):
     """If every control point quantizes to a regular per-axis lattice with
     acceptable inflation, renumber row-major over the full lattice (ghost
-    slots where no cp exists).  Returns (gid, coords, occupied)."""
+    slots where no cp exists).  Returns (gid, coords, occupied, shape)."""
     n_real, dim = rep.shape
+    bail = (gid, rep, np.ones(n_real, dtype=bool), None)
     axes = []
     for d in range(dim):
         coords = np.unique(np.round(rep[:, d] / tol).astype(np.int64))
         if len(coords) < 2:
-            return gid, rep, np.ones(n_real, dtype=bool)
+            return bail
         diffs = np.diff(coords)
         h = diffs.min()
         if h <= 0:
-            return gid, rep, np.ones(n_real, dtype=bool)
+            return bail
         # every coordinate must be an integer multiple of h from the min
         k = (coords - coords[0]) / h
         if np.abs(k - np.round(k)).max() > 0.25:
-            return gid, rep, np.ones(n_real, dtype=bool)
+            return bail
         axes.append((coords[0], h, int(np.round(k[-1])) + 1))
     lattice_size = int(np.prod([a[2] for a in axes]))
     if lattice_size > max_inflation * n_real:
-        return gid, rep, np.ones(n_real, dtype=bool)
+        return bail
 
     idx = np.zeros(n_real, dtype=np.int64)
     for d, (c0, h, nd) in enumerate(axes):
         kd = np.round((np.round(rep[:, d] / tol) - c0) / h).astype(np.int64)
         idx = idx * nd + kd
     if len(np.unique(idx)) != n_real:
-        return gid, rep, np.ones(n_real, dtype=bool)  # collision: bail
+        return bail                                   # collision: bail
 
     coords = np.full((lattice_size, rep.shape[1]), np.nan)
     coords[idx] = rep
     occupied = np.zeros(lattice_size, dtype=bool)
     occupied[idx] = True
-    return idx[gid], coords, occupied
+    return idx[gid], coords, occupied, tuple(a[2] for a in axes)
 
 
 def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
@@ -164,7 +170,7 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
     # gather-speed SpMV on TPU.  Ghosts cost ~25-50% extra rows; their
     # coordinates are NaN (coordinate-based selections skip them), their
     # DOF rows are regularized with a unit diagonal and stay zero.
-    gid, rep, occupied = _try_lattice_numbering(gid, rep, tol)
+    gid, rep, occupied, lattice_shape = _try_lattice_numbering(gid, rep, tol)
 
     el_cp = gid.reshape(n_el, n_itp)
 
@@ -182,4 +188,5 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
                                       eindex=eis.astype(np.int64))
 
     return WPMesh(dim=dim, cp_coords=rep, el_cp=el_cp.astype(np.int64),
-                  boundary_groups=groups, fields={}, is_occupied=occupied)
+                  boundary_groups=groups, fields={}, is_occupied=occupied,
+                  lattice_shape=lattice_shape)

@@ -252,6 +252,14 @@ class FEM_Domain:
                         touched.astype(np.int32))
             self._device_maps[phase_key] = entry
         self._ghost_diag = self._ghost_diag_vector()
+        # occupancy mask for the multigrid preconditioner (single lattice
+        # workpiece with ghost slots; linsolve/multigrid.mask_for_domain)
+        self._mg_mask = None
+        if len(self.workpieces) == 1:
+            occ = self.workpieces[0].mesh.is_occupied
+            if occ is not None and not occ.all():
+                self._mg_mask = jnp.asarray(occ.astype(np.float64),
+                                            dtype=self.dtype)
         self.update_mesh()
         if self.linear_solver is None:
             self.linear_solver = self.make_iterative_solver()
@@ -336,6 +344,7 @@ class FEM_Domain:
         ga = self.time_discretization
         return {**self.state,
                 "ghost_diag": getattr(self, "_ghost_diag", None),
+                "mg_mask": getattr(self, "_mg_mask", None),
                 "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.n_storage, self.dtype),

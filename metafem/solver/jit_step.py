@@ -27,13 +27,19 @@ from .time_domain import initialize_dx, x_star_of
 
 def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                      maxiter: int = 2000, max_newton: int = 4,
-                     max_pass: int = 2, **sv_kwargs):
+                     max_pass: int = 2, precond: str = "jacobi",
+                     mg_opts: dict = None, **sv_kwargs):
     """Build ``step(state, x, t, dt) -> (x_new, dx, res, n_newton)``.
 
     ``state`` is the runtime pytree (geometry, fields, maps, user);
     converge_tol is read from the domain at build time.  Every Newton
-    iteration assembles the residual/tangent and solves with ``sv_func``
-    (right-Jacobi preconditioned, single pass).
+    iteration assembles the residual/tangent and solves with ``sv_func``.
+
+    ``precond``: 'jacobi' (right diagonal scaling, the reference's
+    Pr_Jacobi!) or 'mg' — lattice geometric multigrid V-cycle as a right
+    preconditioner (linsolve/multigrid.py; structured single-workpiece
+    meshes).  MG turns the O(h^-2)-conditioned tangent into an O(1)
+    iteration count and is the production path at >=1M DOF.
     """
     pattern = domain.pattern
     ga = domain.time_discretization
@@ -45,6 +51,13 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     res_k = domain._res_k.__wrapped__
     k_linear = domain._k_linear.__wrapped__
     sqrt_n = np.sqrt(pattern.basicfield_size)
+
+    mg_hier = None
+    if precond == "mg":
+        from ..linsolve import multigrid
+        mg_hier = multigrid.hierarchy_for_domain(domain, **(mg_opts or {}))
+    elif precond != "jacobi":
+        raise ValueError(f"unknown precond {precond!r}")
 
     @jax.jit
     def step(state, x, t, dt):
@@ -76,18 +89,29 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             dx, _, it = carry
             residue, K_total = res_of(dx)
             A = OffsetMatrix.from_values(K_total, pattern.offset_layout)
-            A, unscale = pr_jacobi(A, diag_pos)
             # restart passes with true-residual recomputation (the
             # iterative_Solve! pattern; doubles as iterative refinement
             # against f32 drift in the Krylov recurrences)
             delta = jnp.zeros_like(residue)
             rr = residue
-            for _ in range(max_pass):
-                d_i, _, _ = sv_func(A, rr, tol=tol, maxiter=maxiter,
-                                    **sv_kwargs)
-                delta = delta + d_i
-                rr = residue - A.mv(delta)
-            delta = unscale(delta)
+            if mg_hier is not None:
+                from ..linsolve import multigrid
+                mg_state = multigrid.mg_setup(mg_hier, A,
+                                              st.get("mg_mask"))
+                op = multigrid.MGOperator(A, mg_state, mg_hier)
+                for _ in range(max_pass):
+                    y_i, _, _ = sv_func(op, rr, tol=tol, maxiter=maxiter,
+                                        **sv_kwargs)
+                    delta = delta + op.apply_m(y_i)
+                    rr = residue - A.mv(delta)
+            else:
+                A, unscale = pr_jacobi(A, diag_pos)
+                for _ in range(max_pass):
+                    d_i, _, _ = sv_func(A, rr, tol=tol, maxiter=maxiter,
+                                        **sv_kwargs)
+                    delta = delta + d_i
+                    rr = residue - A.mv(delta)
+                delta = unscale(delta)
             dx = dx + beta[:, None] * (-delta)[None, :]  # update_dx!
             residue2, _ = res_of(dx)
             res2 = jnp.linalg.norm(residue2) / sqrt_n

@@ -72,14 +72,17 @@ def main():
     print("hier shapes:", hier.shapes, flush=True)
     mask = multigrid.mask_for_domain(dom)
 
-    setup = jax.jit(lambda A: multigrid.mg_setup(hier, A, mask))
+    if mask is not None:
+        setup = jax.jit(lambda A, mk: multigrid.mg_setup(hier, A, mk))
+    else:
+        setup = jax.jit(lambda A, mk: multigrid.mg_setup(hier, A, None))
     t0 = time.perf_counter()
-    mg_state = setup(A)
+    mg_state = setup(A, mask)
     jax.block_until_ready(mg_state)
     print(f"mg_setup compile+run: {time.perf_counter()-t0:.2f}s", flush=True)
     for _ in range(3):
         t0 = time.perf_counter()
-        mg_state = setup(A)
+        mg_state = setup(A, mask)
         jax.block_until_ready(mg_state)
         print(f"mg_setup: {(time.perf_counter()-t0)*1e3:.1f} ms", flush=True)
 

@@ -298,11 +298,14 @@ def _apply_level(hier: MGHierarchy, state, level: int,
 
 
 def _color_index(shape: Tuple[int, ...], off: Tuple[int, ...],
-                 m: int) -> np.ndarray:
-    """Static int array: color id of (r + off) mod m at each point r."""
-    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
-    idx = np.zeros(shape, dtype=np.int32)
-    for g, o in zip(grids, off):
+                 m: int) -> jnp.ndarray:
+    """Color id of (r + off) mod m at each point r.  Computed on-device
+    from iota — at 1M DOF these index fields are megabytes per offset
+    per level, and baking them in as program constants chokes remote
+    compilation (the transport constant-size limit, PERFORMANCE.md)."""
+    idx = jnp.zeros(shape, dtype=jnp.int32)
+    for a, o in enumerate(off):
+        g = jax.lax.broadcasted_iota(jnp.int32, shape, a)
         idx = idx * m + ((g + o) % m)
     return idx
 
@@ -328,15 +331,13 @@ def _probe_level(hier: MGHierarchy, state, level: int,
     colors = list(itertools.product(range(m), repeat=hier.dim))
     n_colors = len(colors)
 
-    # comb vectors on the coarse lattice, one per (channel, color)
-    grids = np.meshgrid(*[np.arange(s) for s in s_coarse], indexing="ij")
-    combs = []
-    for col in colors:
-        mask = np.ones(s_coarse, dtype=bool)
-        for g, c in zip(grids, col):
-            mask &= (g % m) == c
-        combs.append(mask)
-    combs = jnp.asarray(np.stack(combs), dtype=dtype)     # [ncol, *Sc]
+    # comb vectors on the coarse lattice, one per (channel, color);
+    # built on-device from iota (no large program constants — see
+    # _color_index).  cid[r] = color id of point r; comb k = (cid == k).
+    cid = _color_index(s_coarse, (0,) * hier.dim, m)      # [*Sc]
+    col_ids = jnp.arange(n_colors, dtype=jnp.int32).reshape(
+        (n_colors,) + (1,) * hier.dim)
+    combs = (cid[None] == col_ids).astype(dtype)          # [ncol, *Sc]
 
     def probe_one(v_coarse):                              # [C, *Sc]
         return _masked_restrict(

@@ -33,6 +33,20 @@ import numpy as np
 Segment = Tuple[int, int, int, int, int]
 
 
+@dataclasses.dataclass(frozen=True)
+class PallasGroup:
+    """Static description of one workpiece's dense region for the fused
+    Pallas SpMV (pallas_spmv.py): storage rows are unit-major,
+    offset-minor (offsets sorted) over ``[len(units), n_off, n_cp]``."""
+    dof_offset: int
+    n_cp: int
+    n_vars: int
+    n_off: int
+    offsets: Tuple[int, ...]            # sorted dense offsets
+    units: Tuple[Tuple[int, int], ...]  # (dual_pos, base_pos) in unit order
+    base: int                           # start of this region in storage
+
+
 @dataclasses.dataclass(eq=False)  # id-hash: used as static jit aux data
 class OffsetLayout:
     """Static (host) description of the block-offset storage."""
@@ -44,6 +58,7 @@ class OffsetLayout:
     coo_cols: np.ndarray
     storage_of_slot: np.ndarray  # [nnz] logical COO slot -> storage index
     diag_storage: np.ndarray     # [n] storage index of each diagonal entry
+    pallas_groups: Tuple[PallasGroup, ...] = ()
 
     @property
     def n_coo(self) -> int:
@@ -65,6 +80,7 @@ def build_offset_layout(wp_metas, nnz: int,
     and the offset count is capped at max_dense_offsets."""
     storage_of_slot = np.full(nnz, -1, dtype=np.int64)
     segments: List[Segment] = []
+    pallas_groups: List[PallasGroup] = []
     coo_rows_parts, coo_cols_parts, coo_slot_parts = [], [], []
     base = 0
     n = 0
@@ -95,6 +111,12 @@ def build_offset_layout(wp_metas, nnz: int,
             dense_offs.append(0)        # the diagonal is always dense
         dense_set = {d: k for k, d in enumerate(sorted(dense_offs))}
         is_dense = np.isin(d_all, np.asarray(sorted(dense_offs)))
+
+        unit_order = sorted(m["units"].items())
+        pallas_groups.append(PallasGroup(
+            dof_offset=m["dof_offset"], n_cp=n_cp, n_vars=m["n_vars"],
+            n_off=len(dense_set), offsets=tuple(sorted(dense_set)),
+            units=tuple(pair for _u, pair in unit_order), base=base))
 
         for u, (pd, pb) in sorted(m["units"].items()):
             row0 = m["dof_offset"] + pd * n_cp
@@ -142,7 +164,8 @@ def build_offset_layout(wp_metas, nnz: int,
                         n_storage=n_storage, n_dense=n_dense,
                         coo_rows=coo_rows, coo_cols=coo_cols,
                         storage_of_slot=storage_of_slot,
-                        diag_storage=diag_storage)
+                        diag_storage=diag_storage,
+                        pallas_groups=tuple(pallas_groups))
 
 
 def _shift_mul(seg_vals, x_col, d):
@@ -191,6 +214,11 @@ class OffsetMatrix:
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         lo = self.layout
+        from . import pallas_spmv
+        if lo.pallas_groups and pallas_spmv.decide(x.dtype):
+            return pallas_spmv.offset_mv(
+                self.vals, x, lo, self.coo_rows, self.coo_cols,
+                interpret=pallas_spmv.interpret_mode())
         y = jnp.zeros(lo.n, x.dtype)
         for (row0, col0, n_cp, d, b) in lo.segments:
             seg = self.vals[b:b + n_cp]

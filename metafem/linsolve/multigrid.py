@@ -414,14 +414,17 @@ def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
         if level < hier.n_levels - 1:
             entry["omega"] = _calibrate(hier, state, level, dtype)
 
-    # coarsest: dense LU (regularize all-zero rows to identity)
+    # coarsest: dense solve (regularize all-zero rows to identity).  The
+    # inverse is materialized at setup so the per-V-cycle coarse solve is
+    # ONE dense matvec on the MXU — an lu_solve here would run two
+    # sequential triangular solves per cycle, the TPU-hostile pattern
+    # this framework avoids everywhere (see poly.py on ILU).
     last = hier.n_levels - 1
     dense = _stencil_to_dense(state[last]["coefs"], hier.shapes[last],
                               list(hier.offsets), C)
     diag = jnp.diagonal(dense)
     dense = dense + jnp.diag(jnp.where(diag == 0, 1.0, 0.0).astype(dtype))
-    lu, piv = jax.scipy.linalg.lu_factor(dense)
-    state[last]["lu"] = (lu, piv)
+    state[last]["inv"] = jnp.linalg.inv(dense)
     return tuple(state)
 
 
@@ -439,8 +442,7 @@ def _smooth(hier, state, level, x, b, n):
 
 def _vcycle_level(hier, state, level, b):
     if level == hier.n_levels - 1:
-        lu, piv = state[level]["lu"]
-        x = jax.scipy.linalg.lu_solve((lu, piv), b.reshape(-1))
+        x = state[level]["inv"] @ b.reshape(-1)
         return x.reshape(b.shape)
     inv_d = state[level]["inv_diag"]
     om = state[level]["omega"]

@@ -81,6 +81,19 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             residue, K_total = res_k(st2)
             return residue, K_total
 
+        # MG preconditioner: set up ONCE per step from the predictor-state
+        # tangent and frozen across Newton iterations (re-probing per
+        # iteration costs ~n_off x m^dim operator applications; a frozen
+        # V-cycle stays an O(1)-quality preconditioner for the slowly
+        # varying tangent — the standard frozen-preconditioner Newton).
+        residue0, K0 = res_of(dx0)
+        res0 = jnp.linalg.norm(residue0) / sqrt_n
+        mg_state = None
+        if mg_hier is not None:
+            from ..linsolve import multigrid
+            A0 = OffsetMatrix.from_values(K0, pattern.offset_layout)
+            mg_state = multigrid.mg_setup(mg_hier, A0, st.get("mg_mask"))
+
         def cond(carry):
             dx, res, it = carry
             return (res > tol) & (it < max_newton)
@@ -96,8 +109,6 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             rr = residue
             if mg_hier is not None:
                 from ..linsolve import multigrid
-                mg_state = multigrid.mg_setup(mg_hier, A,
-                                              st.get("mg_mask"))
                 op = multigrid.MGOperator(A, mg_state, mg_hier)
                 for _ in range(max_pass):
                     y_i, _, _ = sv_func(op, rr, tol=tol, maxiter=maxiter,
@@ -117,8 +128,6 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             res2 = jnp.linalg.norm(residue2) / sqrt_n
             return dx, res2, it + 1
 
-        residue0, _ = res_of(dx0)
-        res0 = jnp.linalg.norm(residue0) / sqrt_n
         dx, res, it = jax.lax.while_loop(cond, body, (dx0, res0, 0))
         return x + dx, dx, res, it
 

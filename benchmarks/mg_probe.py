@@ -114,7 +114,7 @@ def main():
 
     # full jitted Newton step
     dom.converge_tol = 5e-4
-    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=100,
+    step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=40,
                                 max_newton=3, max_pass=1, precond="mg")
     st = dom._runtime_state()
     x_new, dx, res, it = step(st, dom.x, jnp.float32(0.0), jnp.float32(1.0))

@@ -28,7 +28,8 @@ from .time_domain import initialize_dx, x_star_of
 def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                      maxiter: int = 2000, max_newton: int = 4,
                      max_pass: int = 2, precond: str = "jacobi",
-                     mg_opts: dict = None, **sv_kwargs):
+                     mg_opts: dict = None, forcing: float = 1e-2,
+                     stall_ratio: float = 0.9, **sv_kwargs):
     """Build ``step(state, x, t, dt) -> (x_new, dx, res, n_newton)``.
 
     ``state`` is the runtime pytree (geometry, fields, maps, user);
@@ -40,6 +41,14 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     preconditioner (linsolve/multigrid.py; structured single-workpiece
     meshes).  MG turns the O(h^-2)-conditioned tangent into an O(1)
     iteration count and is the production path at >=1M DOF.
+
+    ``forcing``: inexact-Newton forcing term — each inner Krylov pass
+    stops at max(converge_tol, forcing * ||rhs||/sqrt(n)).  Without it,
+    a converge_tol below the f32 residual floor makes every inner solve
+    burn its full maxiter with zero progress (measured: 2.5 s/step vs
+    0.6 s at 1.28M DOF).  ``stall_ratio``: the Newton loop also exits
+    when the residual fails to shrink by that factor (floor detection —
+    the reference's Newton has no such guard, it just caps max_iter).
     """
     pattern = domain.pattern
     ga = domain.time_discretization
@@ -94,12 +103,19 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             A0 = OffsetMatrix.from_values(K0, pattern.offset_layout)
             mg_state = multigrid.mg_setup(mg_hier, A0, st.get("mg_mask"))
 
+        def inner_tol(rr):
+            # inexact-Newton forcing: never ask the Krylov pass for more
+            # than a `forcing` relative reduction of this pass's rhs
+            return jnp.maximum(jnp.asarray(tol, rr.dtype),
+                               forcing * jnp.linalg.norm(rr) / sqrt_n)
+
         def cond(carry):
-            dx, res, it = carry
-            return (res > tol) & (it < max_newton)
+            dx, res, res_prev, it = carry
+            return ((res > tol) & (it < max_newton)
+                    & (res < stall_ratio * res_prev))
 
         def body(carry):
-            dx, _, it = carry
+            dx, res_in, _, it = carry
             residue, K_total = res_of(dx)
             A = OffsetMatrix.from_values(K_total, pattern.offset_layout)
             # restart passes with true-residual recomputation (the
@@ -111,24 +127,26 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                 from ..linsolve import multigrid
                 op = multigrid.MGOperator(A, mg_state, mg_hier)
                 for _ in range(max_pass):
-                    y_i, _, _ = sv_func(op, rr, tol=tol, maxiter=maxiter,
-                                        **sv_kwargs)
+                    y_i, _, _ = sv_func(op, rr, tol=inner_tol(rr),
+                                        maxiter=maxiter, **sv_kwargs)
                     delta = delta + op.apply_m(y_i)
                     rr = residue - A.mv(delta)
             else:
                 A, unscale = pr_jacobi(A, diag_pos)
                 for _ in range(max_pass):
-                    d_i, _, _ = sv_func(A, rr, tol=tol, maxiter=maxiter,
-                                        **sv_kwargs)
+                    d_i, _, _ = sv_func(A, rr, tol=inner_tol(rr),
+                                        maxiter=maxiter, **sv_kwargs)
                     delta = delta + d_i
                     rr = residue - A.mv(delta)
                 delta = unscale(delta)
             dx = dx + beta[:, None] * (-delta)[None, :]  # update_dx!
             residue2, _ = res_of(dx)
             res2 = jnp.linalg.norm(residue2) / sqrt_n
-            return dx, res2, it + 1
+            return dx, res2, res_in, it + 1
 
-        dx, res, it = jax.lax.while_loop(cond, body, (dx0, res0, 0))
+        big = jnp.asarray(np.finfo(np.float32).max, res0.dtype)
+        dx, res, _, it = jax.lax.while_loop(cond, body,
+                                            (dx0, res0, big, 0))
         return x + dx, dx, res, it
 
     return step

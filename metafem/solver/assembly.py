@@ -165,44 +165,69 @@ def _phase_bilinears(wf: AssembleWeakform, la: LocalAssembly,
     return positions, units
 
 
-def collect_phase_slots(compiled_wps: List[CompiledWP],
-                        pattern: GlobalPattern, linear_only: bool):
-    """Host mirror of _run's contribution order: the concatenated residual
-    DOF rows and K COO slots for one phase."""
-    r_slots: List[np.ndarray] = []
-    k_slots: List[np.ndarray] = []
-    for cw in compiled_wps:
+def collect_phase_streams(compiled_wps: List[CompiledWP],
+                          pattern: GlobalPattern, linear_only: bool):
+    """Host mirror of _run's contribution order, one entry per stream:
+    dicts {kind: 'r'|'k', slots: [E, n_cols] int64, volume: bool,
+    wp: index}.  The order matches _run's emission exactly (volume weak
+    form first, then boundary parts; residual positions then K units,
+    both sorted)."""
+    streams: List[dict] = []
+    for w_i, cw in enumerate(compiled_wps):
         la, info = cw.la, cw.info
 
-        def handle(wf, el_cp_np, pair_slot_np):
+        def handle(wf, el_cp_np, pair_slot_np, volume):
             positions, units = _phase_bilinears(wf, la, linear_only)
             for pos in positions:
-                r_slots.append((el_cp_np.astype(np.int64) + info.dof_offset
-                                + pos * info.n_cp).reshape(-1))
+                streams.append(dict(
+                    kind="r", volume=volume, wp=w_i,
+                    slots=(el_cp_np.astype(np.int64) + info.dof_offset
+                           + pos * info.n_cp)))
             for u in units:
-                k_slots.append(pattern.slot_storage(
-                    (pair_slot_np.astype(np.int64) + info.sparse_entry
-                     + u * info.unitsize).reshape(-1)))
+                B = pair_slot_np.shape[0]
+                streams.append(dict(
+                    kind="k", volume=volume, wp=w_i,
+                    slots=pattern.slot_storage(
+                        (pair_slot_np.astype(np.int64) + info.sparse_entry
+                         + u * info.unitsize).reshape(-1)
+                    ).reshape(B, -1)))
 
-        handle(la.assembled_weakform, cw.el_cp, info.pair_slot)
+        handle(la.assembled_weakform, cw.el_cp, info.pair_slot, True)
         for bg_id, wf in la.assembled_boundary_weakform_pairs.items():
             for (_, els) in cw.bdy_parts[bg_id]:
-                handle(wf, cw.el_cp[els], info.pair_slot[els])
-    r = np.concatenate(r_slots) if r_slots else None
-    k = np.concatenate(k_slots) if k_slots else None
-    return r, k
+                handle(wf, cw.el_cp[els], info.pair_slot[els], False)
+    return streams
+
+
+def collect_phase_slots(compiled_wps: List[CompiledWP],
+                        pattern: GlobalPattern, linear_only: bool):
+    """Concatenated residual DOF rows and K storage slots for one phase
+    (all streams; see collect_phase_streams for the per-stream view)."""
+    streams = collect_phase_streams(compiled_wps, pattern, linear_only)
+    r = [s["slots"].reshape(-1) for s in streams if s["kind"] == "r"]
+    k = [s["slots"].reshape(-1) for s in streams if s["kind"] == "k"]
+    return (np.concatenate(r) if r else None,
+            np.concatenate(k) if k else None)
 
 
 def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                   pattern: GlobalPattern,
-                  functions: Dict[str, object]):
+                  functions: Dict[str, object],
+                  fast_maps: Dict[str, dict] = None):
     """Build (k_linear, res_k_nonlinear) as jittable pure functions of the
     runtime ``state`` pytree.
 
     The contribution->slot maps are static per phase, so they are inverted
     once (at first trace) into padded gather maps; the runtime reduction
-    is gathers + dense sums — no scatters (see scatter.py)."""
+    is gathers + dense sums — no scatters (see scatter.py).
+
+    ``fast_maps``: {phase_key: {stream_idx: [FastStream]}} — lattice
+    dense-interleave reductions (lattice_reduce.py), filled in by
+    FEM_Domain.compile after this call but before the first trace.
+    Streams covered by it bypass the gather maps entirely; the device
+    maps then cover only the remaining (boundary/unstructured) streams."""
     from .scatter import build_gather_reduce
+    fast_maps = fast_maps if fast_maps is not None else {}
 
     bfs = pattern.basicfield_size
     #: phase -> (residual GatherReduce, K GatherReduce); built lazily at
@@ -253,12 +278,12 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                 res_contribs, kel_units = _assemble_part(
                     tb, cw, part_state, res_bils, grad_bils, ctx, K_params)
                 for pos in sorted(res_contribs):
-                    r_vals.append(res_contribs[pos].reshape(-1))
+                    r_vals.append(res_contribs[pos])       # [B, na]
                     r_rows.append(
                         (el_cp_np.astype(np.int64) + info.dof_offset
                          + pos * info.n_cp).reshape(-1))
                 for u in sorted(kel_units):
-                    k_vals.append(kel_units[u].reshape(-1))
+                    k_vals.append(kel_units[u])            # [B, na, nb]
                     k_slots.append(pattern.slot_storage(
                         (pair_slot_np.astype(np.int64) + info.sparse_entry
                          + u * info.unitsize).reshape(-1)))
@@ -280,24 +305,48 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             # maps passed as device arrays through the state pytree (the
             # standard path; keeps them out of the program constants)
             from .scatter import apply_device_maps
-            residue = (apply_device_maps(device_maps.get("r"),
-                                         jnp.concatenate(r_vals), bfs)
-                       if r_vals else jnp.zeros(bfs, dtype))
-            if not k_vals:
-                K = jnp.zeros(pattern.n_storage, dtype)
-            elif "k_touched" in device_maps:
-                # compact reduction over the touched slots + one small
-                # scatter-expand (boundary-only nonlinear tangents)
-                touched = device_maps["k_touched"]
-                compact = apply_device_maps(device_maps.get("k"),
-                                            jnp.concatenate(k_vals),
-                                            touched.shape[0])
-                K = jnp.zeros(pattern.n_storage, dtype)
-                K = K.at[touched].add(compact)
-            else:
-                K = apply_device_maps(device_maps.get("k"),
-                                      jnp.concatenate(k_vals),
-                                      pattern.n_storage)
+            from .lattice_reduce import apply_fast_stream
+            fast = fast_maps.get(phase_key, {})
+            fast_r, fast_k = fast.get("r", {}), fast.get("k", {})
+
+            residue = jnp.zeros(bfs, dtype)
+            rest_r = []
+            for si, v in enumerate(r_vals):
+                fs_list = fast_r.get(si)
+                if fs_list is None:
+                    rest_r.append(v.reshape(-1))
+                else:
+                    vf = v.reshape(v.shape[0], -1)
+                    for fs in fs_list:
+                        residue = apply_fast_stream(residue, vf[:, fs.col],
+                                                    fs)
+            if rest_r:
+                residue = residue + apply_device_maps(
+                    device_maps.get("r"), jnp.concatenate(rest_r), bfs)
+
+            K = jnp.zeros(pattern.n_storage, dtype)
+            rest_k = []
+            for si, v in enumerate(k_vals):
+                fs_list = fast_k.get(si)
+                if fs_list is None:
+                    rest_k.append(v.reshape(-1))
+                else:
+                    vf = v.reshape(v.shape[0], -1)
+                    for fs in fs_list:
+                        K = apply_fast_stream(K, vf[:, fs.col], fs)
+            if rest_k:
+                if "k_touched" in device_maps:
+                    # compact reduction over the touched slots + one small
+                    # scatter-expand (boundary-only nonlinear tangents)
+                    touched = device_maps["k_touched"]
+                    compact = apply_device_maps(device_maps.get("k"),
+                                                jnp.concatenate(rest_k),
+                                                touched.shape[0])
+                    K = K.at[touched].add(compact)
+                else:
+                    K = K + apply_device_maps(device_maps.get("k"),
+                                              jnp.concatenate(rest_k),
+                                              pattern.n_storage)
             if linear_only and state.get("ghost_diag") is not None:
                 # unit diagonal on ghost (unoccupied lattice) DOF rows
                 K = K + state["ghost_diag"]
@@ -315,10 +364,10 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             maps = _maps_cache[cache_key] = (r_map, k_map)
         r_map, k_map = maps
 
-        residue = (r_map(jnp.concatenate(r_vals)) if r_map is not None
-                   else jnp.zeros(bfs, dtype))
-        K = (k_map(jnp.concatenate(k_vals)) if k_map is not None
-             else jnp.zeros(pattern.n_storage, dtype))
+        residue = (r_map(jnp.concatenate([v.reshape(-1) for v in r_vals]))
+                   if r_map is not None else jnp.zeros(bfs, dtype))
+        K = (k_map(jnp.concatenate([v.reshape(-1) for v in k_vals]))
+             if k_map is not None else jnp.zeros(pattern.n_storage, dtype))
         if linear_only and state.get("ghost_diag") is not None:
             K = K + state["ghost_diag"]
         return residue, K

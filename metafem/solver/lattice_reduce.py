@@ -1,0 +1,117 @@
+"""Lattice fast path for the assembly reduction — dense interleaved adds.
+
+Measured on v5e at 1.28M DOF: the generic padded gather-reduce of the
+linear-phase tangent (32M dense storage slots) runs at random-access
+rate (~1.5e8 elem/s) and costs ~1.5 s — 1000x below HBM stream rate.
+On structured meshes with lattice control-point numbering
+(mesh/fem_mesh.py) every contribution stream is *affine*: for a fixed
+local pair (a, b) of a volume weak form, element (e_1..e_d) contributes
+to storage slot
+
+    base + ravel_lattice(p * e + k0)        (p = itp order per axis)
+
+i.e. contributions tile a stride-p sub-lattice of one dense diagonal
+segment (and likewise residual streams tile the DOF lattice).  The
+reduction is then a zero-interleave (``jnp.pad`` with static widths —
+pure dense data movement, no gathers/scatters) followed by a contiguous
+slice-add into the storage vector.  Streams that fail the exact host-
+side verification (boundary parts, unstructured meshes, COO spill) fall
+back to the generic gather maps.
+
+This replaces, at dense-stream rate, what the reference does with CUDA
+atomic scatter-adds (solver/06_FEM_Kernel.jl:28-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FastStream:
+    """One affine contribution column: add vals[:, col] (el-major) into
+    ``target[base : base + prod(lattice)]`` at sub-lattice ``p*e + k0``."""
+    col: int                      # flat column index within the stream
+    base: int                     # storage/dof offset of the lattice block
+    k0: Tuple[int, ...]           # per-axis start within the lattice
+    p: int                        # per-axis stride (itp order)
+    el_grid: Tuple[int, ...]      # element grid (row-major = el order)
+    lattice: Tuple[int, ...]      # cp lattice shape of the block
+
+
+def fit_stream_columns(slots: np.ndarray, lattice: Tuple[int, ...],
+                       block_of: "callable") -> Optional[List[FastStream]]:
+    """Try to express every column of ``slots`` [E, n_cols] as an affine
+    sub-lattice map.  ``block_of(slot)`` -> base of the lattice block
+    containing the slot (dense-segment start for K, dof-block start for
+    residuals), or None.  Returns None unless EVERY column fits."""
+    E, n_cols = slots.shape
+    n_cp = int(np.prod(lattice))
+    dim = len(lattice)
+
+    # infer the element grid: common stride p with (L-1) % p == 0
+    el_grid = None
+    for p in (1, 2, 3, 4):
+        if all((L - 1) % p == 0 and (L - 1) // p > 0 for L in lattice):
+            cand = tuple((L - 1) // p for L in lattice)
+            if int(np.prod(cand)) == E:
+                el_grid = cand
+                p_fit = p
+                break
+    if el_grid is None:
+        return None
+
+    grids = np.meshgrid(*[np.arange(g) for g in el_grid], indexing="ij")
+    strides = np.cumprod((1,) + lattice[:0:-1])[::-1]
+
+    out: List[FastStream] = []
+    for c in range(n_cols):
+        col = slots[:, c]
+        base = block_of(int(col[0]))
+        if base is None:
+            return None
+        rel0 = int(col[0]) - base
+        if rel0 < 0 or rel0 >= n_cp:
+            return None
+        k0 = np.unravel_index(rel0, lattice)
+        if any(int(k) > p_fit for k in k0):     # k0 in [0, p] per axis
+            return None
+        expect = base + sum(
+            (p_fit * g.reshape(-1) + int(k)) * s
+            for g, k, s in zip(grids, k0, strides))
+        if not np.array_equal(expect, col):
+            return None
+        if any(int(k) + p_fit * (g - 1) >= L
+               for k, g, L in zip(k0, el_grid, lattice)):
+            return None
+        out.append(FastStream(col=c, base=base,
+                              k0=tuple(int(k) for k in k0), p=p_fit,
+                              el_grid=el_grid, lattice=lattice))
+    return out
+
+
+def apply_fast_stream(target: jnp.ndarray, vals_col: jnp.ndarray,
+                      fs: FastStream) -> jnp.ndarray:
+    """target[base : base+n_cp] += interleave(vals_col); all pads static."""
+    dim = len(fs.el_grid)
+    c = vals_col.reshape(fs.el_grid)
+    # add the per-axis p-phase dimensions: [g0, 1, g1, 1, ...]
+    shape6 = []
+    for g in fs.el_grid:
+        shape6 += [g, 1]
+    c = c.reshape(tuple(shape6))
+    pads = []
+    for a in range(dim):
+        q, r = divmod(fs.k0[a], fs.p)          # k0 = q*p + r, q in {0,1}
+        pads.append((q, 1 - q))                # element-block axis -> g+1
+        pads.append((r, fs.p - 1 - r))         # phase axis -> p
+    arr = jnp.pad(c, pads)                     # [(g0+1), p, (g1+1), p, ..]
+    full = tuple((g + 1) * fs.p for g in fs.el_grid)
+    arr = arr.reshape(full)
+    arr = arr[tuple(slice(0, L) for L in fs.lattice)]
+    n_cp = int(np.prod(fs.lattice))
+    return target.at[fs.base:fs.base + n_cp].add(arr.reshape(-1))

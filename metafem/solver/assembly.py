@@ -54,22 +54,34 @@ class CompiledWP:
 def _build_env(tb: TensorTable, wp_state: dict, part_state: dict,
                cw: CompiledWP, inner_infos: List[InnervarInfo],
                exter_infos: List[ExtervarInfo], x_star, t, dt,
-               global_vars: dict, is_boundary: bool) -> dict:
+               global_vars: dict, is_boundary: bool,
+               gather_fast=None) -> dict:
     """Gather quadrature-point values for every referenced variable — the
     analog of declare_Innervar_GPU / declare_Extervar_GPU
-    (solver/05_CodeGenerator.jl:1-50)."""
+    (solver/05_CodeGenerator.jl:1-50).  ``gather_fast``: FastStream list
+    for lattice strided node reads (lattice_reduce.gather_lattice_nodes)
+    on the volume part, or None for the generic [B, na] gather."""
     env: dict = {}
     itg_vals = part_state["itg_vals"]           # [B, nq, na, n_modes]
     el_cp = part_state["el_cp"]                 # [B, na]
     disc, info, la = cw.disc, cw.info, cw.la
+
+    def node_vals(vec, block_base):
+        """vec[block_base + el_cp] as [B, na]."""
+        if gather_fast is not None:
+            from .lattice_reduce import gather_lattice_nodes
+            block = jax.lax.dynamic_slice(vec, (block_base,),
+                                          (info.n_cp,))
+            return gather_lattice_nodes(block, gather_fast)
+        return vec[el_cp + block_base] if block_base else vec[el_cp]
 
     for (sym, td, sd_ids, pos) in inner_infos:
         if len(sd_ids) > la.max_sd_order:
             env[sym] = 0.0  # truncated derivative (explicit_max_sd_order)
             continue
         m = sd_ids_to_mode(tb.dim, sd_ids, disc.sd_modes)
-        rows = el_cp + (info.dof_offset + pos * info.n_cp)
-        env[sym] = jnp.einsum("bqa,ba->bq", itg_vals[..., m], x_star[td][rows])
+        nodes = node_vals(x_star[td], info.dof_offset + pos * info.n_cp)
+        env[sym] = jnp.einsum("bqa,ba->bq", itg_vals[..., m], nodes)
 
     for (sym, local_sym, base, sd_ids, c_ids) in exter_infos:
         attrs = tb.registry.attributes(base)
@@ -93,7 +105,8 @@ def _build_env(tb: TensorTable, wp_state: dict, part_state: dict,
                 continue
             m = sd_ids_to_mode(tb.dim, sd_ids, disc.sd_modes)
             col = wp_state["fields"][local_sym]             # [n_cp]
-            env[sym] = jnp.einsum("bqa,ba->bq", itg_vals[..., m], col[el_cp])
+            env[sym] = jnp.einsum("bqa,ba->bq", itg_vals[..., m],
+                                  node_vals(col, 0))
         elif INTEGRATION_POINT_VAR in attrs and base == "n":
             if not is_boundary:
                 raise ValueError("the normal n{i} only exists on boundaries")
@@ -270,9 +283,12 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     el_cp_np = np.pad(el_cp_np, ((0, pad), (0, 0)))
                     pair_slot_np = np.pad(pair_slot_np,
                                           ((0, pad),) + ((0, 0),) * 2)
+                gather_fast = None
+                if not is_boundary and state.get("maps"):
+                    gather_fast = fast_maps.get("gather", {}).get(w_i)
                 env = _build_env(tb, wp_state, part_state, cw, inner_infos,
                                  exter_infos, x_star, t, dt, global_vars,
-                                 is_boundary)
+                                 is_boundary, gather_fast=gather_fast)
                 ctx = LoweringContext(tb, env, functions,
                                       user_state=state.get("user"))
                 res_contribs, kel_units = _assemble_part(

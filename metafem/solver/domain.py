@@ -255,6 +255,22 @@ class FEM_Domain:
                 return None
             return int(seg_bases[j])
 
+        # lattice node-gather fast path: el_cp columns as strided slices
+        self._fast_maps["gather"] = {}
+        for w_i, wp in enumerate(self.workpieces):
+            mesh = wp.mesh
+            if mesh.lattice_shape is None:
+                continue
+            n_cp = mesh.n_cp
+
+            def in_block(slot, n_cp=n_cp):
+                return 0 if 0 <= slot < n_cp else None
+
+            fs_list = fit_stream_columns(
+                mesh.el_cp.astype(np.int64), mesh.lattice_shape, in_block)
+            if fs_list is not None:
+                self._fast_maps["gather"][w_i] = fs_list
+
         self._device_maps = {}
         for phase_key, linear_only in (("lin", True), ("nl", False)):
             streams = collect_phase_streams(

@@ -406,11 +406,58 @@ class FEM_Domain:
     def set_field(self, wp_id: int, name: str, values) -> None:
         self.workpieces[wp_id].mesh.set_field(name, values)
 
+    def freeze_linear_tangent(self) -> None:
+        """Precompute the per-time-level linear tangent components
+        G_td (x-independent), so jitted steps built with
+        ``static_k_linear=True`` combine them as sum(K_params[td]*G_td)
+        instead of re-assembling K_linear every step (~160 ms at 1M DOF).
+
+        Valid while geometry, controlpoint fields, and global material
+        constants stay fixed (the linear coefficients may not reference
+        t/dt).  Call again after changing any of those."""
+        L = self.pattern.max_time_level
+        state = self._runtime_state()
+        ghost = getattr(self, "_ghost_diag", None)
+        comps = []
+        for td in range(L + 1):
+            one_hot = np.zeros(L + 1)
+            one_hot[td] = 1.0
+            st = dict(state)
+            st["K_params"] = jnp.asarray(one_hot, dtype=self.dtype)
+            G = self._k_linear(st)
+            if ghost is not None:
+                G = G - ghost     # added once at combine time, not per td
+            comps.append(G)
+        self._k_linear_td = jnp.stack(comps)
+
+    def setup_mg(self, **mg_opts) -> None:
+        """Build the geometric-multigrid state ONCE from the tangent at
+        the current x and stash it in the runtime state, for jitted
+        steps built with ``precond='mg', reuse_mg=True`` — skips the
+        per-step probing setup (~160 ms at 1M DOF).  Valid while the
+        tangent the V-cycle approximates stays representative (linear
+        problems: exact; mild nonlinearity: still an effective
+        preconditioner — the Krylov iteration count absorbs the drift)."""
+        from ..linsolve import multigrid
+        hier = multigrid.hierarchy_for_domain(self, **mg_opts)
+        ga = self.time_discretization
+        ga.update_time(self.dt or 1.0, self.pattern.max_time_level)
+        state = self._runtime_state()
+        state["K_linear"] = self._k_linear(state)
+        state["x_star"] = self.x
+        _, K_total = self._res_k(state)
+        A = OffsetMatrix.from_values(K_total, self.pattern.offset_layout)
+        mask = multigrid.mask_for_domain(self)
+        self._mg_frozen = jax.jit(
+            lambda A, m: multigrid.mg_setup(hier, A, m))(A, mask)
+
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
         return {**self.state,
                 "ghost_diag": getattr(self, "_ghost_diag", None),
                 "mg_mask": getattr(self, "_mg_mask", None),
+                "mg_frozen": getattr(self, "_mg_frozen", None),
+                "K_linear_td": getattr(self, "_k_linear_td", None),
                 "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.n_storage, self.dtype),

@@ -251,6 +251,77 @@ def test_mg_vector_channels_elasticity():
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-6 * scale)
 
 
+def _transient_thermal(nel=(16, 8)):
+    L1, L2 = 0.02, 0.01
+    vert, conn = mf.make_square((L1, L2), nel)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(2)
+    wp = dom.add_workpiece(geo)
+    eps = 1e-9
+    ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
+                            | (c[:, 0] > L1 - eps))
+    bg = dom.add_boundary(wp, ends)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    dt_ = T.dt()
+    i = mf.index("i")
+    dom.assign_workpiece_weakform(
+        wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s)
+        - 1.0e5 * Bilinear(T, dt_))
+    dom.assign_boundary_weakform(wp, bg, 1000.0 * Bilinear(T, 500.0 - T))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    dom.mesh_classical(itp_order=2, itg_order=5, itp_type="Serendipity")
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh = dom.workpieces[wp].mesh
+    dom.set_field(wp, "T", np.full(mesh.n_cp, 300.0))
+    dom.refresh_fields()
+    dom.assemble_x()
+    dom.dt = 0.5
+    dom.converge_tol = 1e-10
+    return dom
+
+
+def test_frozen_tangent_and_mg_match_per_step_setup():
+    """freeze_linear_tangent + setup_mg (cross-step caching for static
+    geometry) must reproduce the per-step-assembled path bit-for-bit in
+    effect: same converged step."""
+    dom = _transient_thermal()
+    state = dom._runtime_state()
+    step_ref = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=80,
+                                    max_newton=6, max_pass=2,
+                                    precond="mg")
+    x_ref, _, res_ref, _ = step_ref(state, dom.x, jnp.float64(0.0),
+                                    jnp.float64(0.5))
+
+    dom.freeze_linear_tangent()
+    dom.setup_mg()
+    state2 = dom._runtime_state()
+    step_fz = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=80,
+                                   max_newton=6, max_pass=2,
+                                   precond="mg", static_k_linear=True,
+                                   reuse_mg=True)
+    x_fz, _, res_fz, _ = step_fz(state2, dom.x, jnp.float64(0.0),
+                                 jnp.float64(0.5))
+    assert float(res_ref) < 1e-10 and float(res_fz) < 1e-10
+    scale = np.abs(np.asarray(x_ref)).max()
+    np.testing.assert_allclose(np.asarray(x_fz), np.asarray(x_ref),
+                               atol=1e-9 * scale)
+
+    # the frozen K_linear_td recombination must equal a direct assembly
+    ga = dom.time_discretization
+    ga.update_time(0.5, dom.pattern.max_time_level)
+    st = dom._runtime_state()
+    K_direct = np.asarray(dom._k_linear(st))
+    Kp = np.asarray(st["K_params"])
+    K_comb = np.einsum("t,ts->s", Kp, np.asarray(st["K_linear_td"]))
+    ghost = st.get("ghost_diag")
+    if ghost is not None:
+        K_comb = K_comb + np.asarray(ghost)
+    np.testing.assert_allclose(K_comb, K_direct, rtol=1e-12,
+                               atol=1e-12 * np.abs(K_direct).max())
+
+
 def test_jitted_step_mg_matches_jacobi_path():
     dom = _thermal_domain(nel=(16, 8))
     dom.converge_tol = 1e-9

@@ -66,9 +66,9 @@ class OffsetLayout:
 
 
 def build_offset_layout(wp_metas, nnz: int,
-                        dense_budget_ratio: float = 4.0,
+                        dense_budget_ratio: float = 6.0,
                         min_count_ratio: float = 1 / 16,
-                        max_dense_offsets: int = 96,
+                        max_dense_offsets: int = 136,
                         dense_min_n: int = 4096) -> OffsetLayout:
     """``wp_metas``: per workpiece a dict with dof_offset, n_cp, units
     ({unit: (dual_pos, base_pos)}), sparse_entry, unitsize, ci, cj (the

@@ -345,22 +345,35 @@ def _probe_level(hier: MGHierarchy, state, level: int,
             _apply_level(hier, state, level,
                          _masked_prolong(hier, state, level, v_coarse)))
 
-    # batch over (channel cj, color): build [C*ncol, C, *Sc] inputs
+    # batch over (channel cj, color): build [C*ncol, C, *Sc] inputs.
+    # Batched lax.map, NOT a full vmap: each probe materializes
+    # ~n_off live fine-lattice temporaries, so a full 125-color vmap in
+    # 3D at 1.4M fine points needs ~48 GB HBM (measured OOM); cap the
+    # probe batch so batch * n_off * fine <= ~100M floats.
+    fine = int(np.prod(hier.shapes[level])) * C
+    batch = max(1, min(C * n_colors,
+                       int(1e8 // max(1, len(hier.offsets) * fine))
+                       or 1))
     eye = jnp.eye(C, dtype=dtype)                         # [C, C]
     probes = jnp.einsum("jc,k...->jkc...", eye, combs)    # [Cj,ncol,C,*Sc]
     probes = probes.reshape((C * n_colors, C) + s_coarse)
-    t_all = jax.vmap(probe_one)(probes)                   # [Cj*ncol,Ci,*Sc]
+    t_all = jax.lax.map(probe_one, probes, batch_size=batch)
     t_all = t_all.reshape((C, n_colors, C) + s_coarse)    # [Cj,ncol,Ci,*Sc]
 
+    # flatten the spatial axes before the gather: take_along_axis on the
+    # 6D [C,1,C,*Sc] shape forces a T(1,128) layout padded up to 128x
+    # (measured 90 MB per 0.7 MB slice in 3D — OOM at setup)
+    Pc = int(np.prod(s_coarse))
+    t_flat = t_all.reshape(C, n_colors, C, Pc)
     coef_list = []
     for off in hier.offsets:
-        cidx = jnp.asarray(_color_index(s_coarse, off, m))  # [*Sc]
-        # coef[ci, cj, r] = t_all[cj, cidx[r], ci, r]
+        cidx = _color_index(s_coarse, off, m).reshape(-1)   # [Pc]
         sel = jnp.take_along_axis(
-            t_all, cidx[None, None, None, ...].astype(jnp.int32), axis=1
-        )[:, 0]                                            # [Cj, Ci, *Sc]
-        coef_list.append(jnp.swapaxes(sel, 0, 1))          # [Ci, Cj, *Sc]
-    return jnp.stack(coef_list)            # [n_off, Ci, Cj, *Sc]
+            t_flat, cidx[None, None, None, :].astype(jnp.int32), axis=1
+        )[:, 0]                                            # [Cj, Ci, Pc]
+        coef_list.append(jnp.swapaxes(sel, 0, 1))          # [Ci, Cj, Pc]
+    return jnp.stack(coef_list).reshape(
+        (len(hier.offsets), C, C) + s_coarse)
 
 
 def _calibrate(hier, state, level, dtype):

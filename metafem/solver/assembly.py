@@ -325,31 +325,30 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             fast = fast_maps.get(phase_key, {})
             fast_r, fast_k = fast.get("r", {}), fast.get("k", {})
 
-            residue = jnp.zeros(bfs, dtype)
-            rest_r = []
-            for si, v in enumerate(r_vals):
-                fs_list = fast_r.get(si)
-                if fs_list is None:
-                    rest_r.append(v.reshape(-1))
-                else:
+            def reduce_streams(vals_list, fast_dict, target):
+                rest = []
+                for si, v in enumerate(vals_list):
+                    entry = fast_dict.get(si)
+                    if entry is None:
+                        rest.append(v.reshape(-1))
+                        continue
+                    fs_list, rest_cols = entry
                     vf = v.reshape(v.shape[0], -1)
                     for fs in fs_list:
-                        residue = apply_fast_stream(residue, vf[:, fs.col],
-                                                    fs)
+                        target = apply_fast_stream(target, vf[:, fs.col],
+                                                   fs)
+                    if rest_cols.size:
+                        rest.append(vf[:, rest_cols].reshape(-1))
+                return target, rest
+
+            residue, rest_r = reduce_streams(
+                r_vals, fast_r, jnp.zeros(bfs, dtype))
             if rest_r:
                 residue = residue + apply_device_maps(
                     device_maps.get("r"), jnp.concatenate(rest_r), bfs)
 
-            K = jnp.zeros(pattern.n_storage, dtype)
-            rest_k = []
-            for si, v in enumerate(k_vals):
-                fs_list = fast_k.get(si)
-                if fs_list is None:
-                    rest_k.append(v.reshape(-1))
-                else:
-                    vf = v.reshape(v.shape[0], -1)
-                    for fs in fs_list:
-                        K = apply_fast_stream(K, vf[:, fs.col], fs)
+            K, rest_k = reduce_streams(
+                k_vals, fast_k, jnp.zeros(pattern.n_storage, dtype))
             if rest_k:
                 if "k_touched" in device_maps:
                     # compact reduction over the touched slots + one small

@@ -266,9 +266,9 @@ class FEM_Domain:
             def in_block(slot, n_cp=n_cp):
                 return 0 if 0 <= slot < n_cp else None
 
-            fs_list = fit_stream_columns(
+            fs_list, rest_cols = fit_stream_columns(
                 mesh.el_cp.astype(np.int64), mesh.lattice_shape, in_block)
-            if fs_list is not None:
+            if fs_list and rest_cols.size == 0:   # node reads need ALL
                 self._fast_maps["gather"][w_i] = fs_list
 
         self._device_maps = {}
@@ -282,7 +282,7 @@ class FEM_Domain:
                 kind = s["kind"]
                 si = counters[kind]
                 counters[kind] += 1
-                fs_list = None
+                fs_list, rest_cols = None, None
                 mesh = self.workpieces[s["wp"]].mesh
                 if s["volume"] and mesh.lattice_shape is not None:
                     if kind == "k":
@@ -296,10 +296,16 @@ class FEM_Domain:
                                 return None
                             return (info.dof_offset
                                     + (rel // info.n_cp) * info.n_cp)
-                    fs_list = fit_stream_columns(
-                        s["slots"], mesh.lattice_shape, block_of)
-                if fs_list is not None:
-                    fast[kind][si] = fs_list
+                    slots2 = s["slots"].reshape(s["slots"].shape[0], -1)
+                    fs_list, rest_cols = fit_stream_columns(
+                        slots2, mesh.lattice_shape, block_of)
+                if fs_list:
+                    # per-column split: fitting columns reduce dense,
+                    # the rest (e.g. COO-spilled offsets) via gather
+                    fast[kind][si] = (fs_list, rest_cols)
+                    if rest_cols.size:
+                        rest[kind].append(
+                            slots2[:, rest_cols].reshape(-1))
                 else:
                     rest[kind].append(s["slots"].reshape(-1))
             self._fast_maps[phase_key] = fast

@@ -44,14 +44,18 @@ class FastStream:
 
 
 def fit_stream_columns(slots: np.ndarray, lattice: Tuple[int, ...],
-                       block_of: "callable") -> Optional[List[FastStream]]:
-    """Try to express every column of ``slots`` [E, n_cols] as an affine
-    sub-lattice map.  ``block_of(slot)`` -> base of the lattice block
+                       block_of: "callable"):
+    """Try to express the columns of ``slots`` [E, n_cols] as affine
+    sub-lattice maps.  ``block_of(slot)`` -> base of the lattice block
     containing the slot (dense-segment start for K, dof-block start for
-    residuals), or None.  Returns None unless EVERY column fits."""
+    residuals), or None.  Returns (fast_list, rest_cols): FastStream per
+    fitting column + the indices of columns that must use the generic
+    gather path (e.g. pairs whose offset spilled to the COO tail).
+    Returns (None, all columns) when the element grid itself does not
+    factor (unstructured mesh / reordered elements)."""
     E, n_cols = slots.shape
+    all_cols = np.arange(n_cols)
     n_cp = int(np.prod(lattice))
-    dim = len(lattice)
 
     # infer the element grid: common stride p with (L-1) % p == 0
     el_grid = None
@@ -63,35 +67,37 @@ def fit_stream_columns(slots: np.ndarray, lattice: Tuple[int, ...],
                 p_fit = p
                 break
     if el_grid is None:
-        return None
+        return None, all_cols
 
     grids = np.meshgrid(*[np.arange(g) for g in el_grid], indexing="ij")
     strides = np.cumprod((1,) + lattice[:0:-1])[::-1]
 
     out: List[FastStream] = []
+    rest: List[int] = []
     for c in range(n_cols):
         col = slots[:, c]
         base = block_of(int(col[0]))
-        if base is None:
-            return None
-        rel0 = int(col[0]) - base
-        if rel0 < 0 or rel0 >= n_cp:
-            return None
-        k0 = np.unravel_index(rel0, lattice)
-        if any(int(k) > p_fit for k in k0):     # k0 in [0, p] per axis
-            return None
-        expect = base + sum(
-            (p_fit * g.reshape(-1) + int(k)) * s
-            for g, k, s in zip(grids, k0, strides))
-        if not np.array_equal(expect, col):
-            return None
-        if any(int(k) + p_fit * (g - 1) >= L
-               for k, g, L in zip(k0, el_grid, lattice)):
-            return None
-        out.append(FastStream(col=c, base=base,
-                              k0=tuple(int(k) for k in k0), p=p_fit,
-                              el_grid=el_grid, lattice=lattice))
-    return out
+        ok = base is not None
+        if ok:
+            rel0 = int(col[0]) - base
+            ok = 0 <= rel0 < n_cp
+        if ok:
+            k0 = np.unravel_index(rel0, lattice)
+            ok = (all(int(k) <= p_fit for k in k0)      # k0 in [0, p]
+                  and all(int(k) + p_fit * (g - 1) < L
+                          for k, g, L in zip(k0, el_grid, lattice)))
+        if ok:
+            expect = base + sum(
+                (p_fit * g.reshape(-1) + int(k)) * s
+                for g, k, s in zip(grids, k0, strides))
+            ok = np.array_equal(expect, col)
+        if ok:
+            out.append(FastStream(col=c, base=base,
+                                  k0=tuple(int(k) for k in k0), p=p_fit,
+                                  el_grid=el_grid, lattice=lattice))
+        else:
+            rest.append(c)
+    return out, np.asarray(rest, dtype=np.int64)
 
 
 def gather_lattice_nodes(block_vals: jnp.ndarray,

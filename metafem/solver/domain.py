@@ -380,10 +380,11 @@ class FEM_Domain:
             coords = jnp.asarray(wp.mesh.cp_coords, dtype=self.dtype)
             el_cp = jnp.asarray(wp.mesh.el_cp, dtype=jnp.int32)
             itg_vals, itg_w = update_element_geometry(coords, el_cp, wp.disc)
-            info = self.pattern.wp_infos[i]
-            pair_slot = jnp.asarray(info.pair_slot)
             el_state = {"itg_vals": itg_vals, "weights": itg_w,
-                        "el_cp": el_cp, "pair_slot": pair_slot}
+                        "el_cp": el_cp}
+            # note: NO device pair_slot — the contribution->slot maps are
+            # host-side (gather maps / lattice fast streams); a [E,na,na]
+            # int32 table is ~280 MB of dead HBM at 1.4M DOF in 3D
             bdy_state: Dict[int, list] = {}
             for bg_id, parts in wp.bdy_parts.items():
                 plist = []
@@ -393,8 +394,7 @@ class FEM_Domain:
                         coords, el_cp[els_j], wp.disc, ei)
                     plist.append({"itg_vals": f_vals, "weights": f_w,
                                   "normals": f_n,
-                                  "el_cp": el_cp[els_j],
-                                  "pair_slot": pair_slot[els_j]})
+                                  "el_cp": el_cp[els_j]})
                 bdy_state[bg_id] = plist
             wp_states.append({"el": el_state, "bdy": bdy_state,
                               "fields": {}})

@@ -75,15 +75,16 @@ def build_compact_gather_reduce(slots: np.ndarray, num: int,
     Returns (GatherReduce over compact slots, touched np.ndarray | None).
     ``touched is None`` means the map is full-size."""
     slots = np.asarray(slots)
-    # O(N) touched-set detection (np.unique would sort 1e8+ entries)
+    # O(N) touched-set detection (np.unique would sort 1e8+ entries).
+    # Rank via searchsorted on the touched list — NOT a num-length
+    # cumsum: np.cumsum over tens of millions of entries measured
+    # 5-60 s on this host's single slow core.
     counts = np.bincount(slots, minlength=num)
-    touched_mask = counts > 0
-    n_touched = int(touched_mask.sum())
+    touched = np.flatnonzero(counts)
+    n_touched = touched.size
     if n_touched > compact_threshold * num:
         return build_gather_reduce(slots, num, cap), None
-    rank = np.cumsum(touched_mask) - 1
-    compact = rank[slots]
-    touched = np.nonzero(touched_mask)[0]
+    compact = np.searchsorted(touched, slots)
     return build_gather_reduce(compact, n_touched, cap), touched
 
 

@@ -321,11 +321,15 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             # maps passed as device arrays through the state pytree (the
             # standard path; keeps them out of the program constants)
             from .scatter import apply_device_maps
-            from .lattice_reduce import apply_fast_stream
+            from .lattice_reduce import (concat_fast_blocks,
+                                         interleave_stream)
             fast = fast_maps.get(phase_key, {})
             fast_r, fast_k = fast.get("r", {}), fast.get("k", {})
 
-            def reduce_streams(vals_list, fast_dict, target):
+            def reduce_streams(vals_list, fast_dict, extents, total):
+                """Sum fast columns per lattice block (small arrays),
+                assemble with one concatenate; collect rest columns."""
+                blocks: Dict[int, jnp.ndarray] = {}
                 rest = []
                 for si, v in enumerate(vals_list):
                     entry = fast_dict.get(si)
@@ -335,20 +339,27 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     fs_list, rest_cols = entry
                     vf = v.reshape(v.shape[0], -1)
                     for fs in fs_list:
-                        target = apply_fast_stream(target, vf[:, fs.col],
-                                                   fs)
+                        arr = interleave_stream(vf[:, fs.col], fs)
+                        prev = blocks.get(fs.base)
+                        blocks[fs.base] = arr if prev is None else prev + arr
                     if rest_cols.size:
                         rest.append(vf[:, rest_cols].reshape(-1))
-                return target, rest
+                if blocks:
+                    out = concat_fast_blocks(blocks, extents, total, dtype)
+                else:
+                    out = jnp.zeros(total, dtype)
+                return out, rest
 
-            residue, rest_r = reduce_streams(
-                r_vals, fast_r, jnp.zeros(bfs, dtype))
+            r_extents = pattern.dof_block_extents
+            k_extents = pattern.k_segment_extents
+            residue, rest_r = reduce_streams(r_vals, fast_r, r_extents,
+                                             bfs)
             if rest_r:
                 residue = residue + apply_device_maps(
                     device_maps.get("r"), jnp.concatenate(rest_r), bfs)
 
-            K, rest_k = reduce_streams(
-                k_vals, fast_k, jnp.zeros(pattern.n_storage, dtype))
+            K, rest_k = reduce_streams(k_vals, fast_k, k_extents,
+                                       pattern.n_storage)
             if rest_k:
                 if "k_touched" in device_maps:
                     # compact reduction over the touched slots + one small

@@ -53,6 +53,24 @@ class GlobalPattern:
     #: never needs it
     _csr: object = dataclasses.field(default=None, repr=False)
 
+    @property
+    def dof_block_extents(self):
+        """Ordered (base, n_cp) lattice blocks tiling [0, basicfield):
+        one per (workpiece, variable) — the residual concat layout for
+        the lattice fast path."""
+        out = []
+        for info in self.wp_infos:
+            for v in range(info.n_vars):
+                out.append((info.dof_offset + v * info.n_cp, info.n_cp))
+        return tuple(out)
+
+    @property
+    def k_segment_extents(self):
+        """Ordered (base, n_cp) dense segments tiling [0, n_dense) of the
+        block-offset storage (tail = COO spill, zero-filled by the
+        concat)."""
+        return tuple((s[4], s[2]) for s in self.offset_layout.segments)
+
     def _build_csr(self):
         if self._csr is None:
             order = np.lexsort((self.coo_cols, self.coo_rows))

@@ -219,15 +219,49 @@ class OffsetMatrix:
             return pallas_spmv.offset_mv(
                 self.vals, x, lo, self.coo_rows, self.coo_cols,
                 interpret=pallas_spmv.interpret_mode())
-        y = jnp.zeros(lo.n, x.dtype)
-        for (row0, col0, n_cp, d, b) in lo.segments:
-            seg = self.vals[b:b + n_cp]
-            contrib = _shift_mul(seg, x[col0:col0 + n_cp], d)
-            y = _shift_store(y, row0, contrib)
+        if lo.pallas_groups:
+            y = self._grouped_dense_mv(x)
+        else:
+            y = jnp.zeros(lo.n, x.dtype)
+            for (row0, col0, n_cp, d, b) in lo.segments:
+                seg = self.vals[b:b + n_cp]
+                contrib = _shift_mul(seg, x[col0:col0 + n_cp], d)
+                y = _shift_store(y, row0, contrib)
         if lo.n_coo:
             coo_vals = self.vals[lo.n_dense:]
             y = y + jax.ops.segment_sum(coo_vals * x[self.coo_cols],
                                         self.coo_rows, num_segments=lo.n)
+        return y
+
+    def _grouped_dense_mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Dense-segment SpMV in grouped form: one shifted-x stack per
+        workpiece + a per-unit multiply-reduce over (offset, point).
+        The per-segment loop unrolls n_units * n_off separate slice ops
+        — 1053 for 3D vector elasticity (C=3, 117 offsets), which blows
+        compile time and program size; this form is ~n_off + n_units
+        ops."""
+        lo = self.layout
+        y = jnp.zeros(lo.n, x.dtype)
+        for grp in lo.pallas_groups:
+            C, n_cp, n_off = grp.n_vars, grp.n_cp, grp.n_off
+            G = len(grp.units)
+            xw = jax.lax.dynamic_slice(
+                x, (grp.dof_offset,), (C * n_cp,)).reshape(C, n_cp)
+            R = int(max(abs(d) for d in grp.offsets))
+            xp = jnp.pad(xw, ((0, 0), (R, R)))
+            shifted = jnp.stack(
+                [xp[:, R + d:R + d + n_cp] for d in grp.offsets])
+            vals = jax.lax.dynamic_slice(
+                self.vals, (grp.base,), (G * n_off * n_cp,)
+            ).reshape(G, n_off, n_cp)
+            yw = [None] * C
+            for g, (pd, pb) in enumerate(grp.units):
+                c = jnp.einsum("kn,kn->n", vals[g], shifted[:, pb])
+                yw[pd] = c if yw[pd] is None else yw[pd] + c
+            yb = jnp.concatenate(
+                [w if w is not None else jnp.zeros(n_cp, x.dtype)
+                 for w in yw])
+            y = jax.lax.dynamic_update_slice(y, yb, (grp.dof_offset,))
         return y
 
     def tmv(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -261,9 +295,28 @@ class OffsetMatrix:
     def scale_cols(self, s: jnp.ndarray) -> "OffsetMatrix":
         lo = self.layout
         vals = self.vals
-        for (row0, col0, n_cp, d, b) in lo.segments:
-            sc = _shift_mul(jnp.ones(n_cp, s.dtype), s[col0:col0 + n_cp], d)
-            vals = vals.at[b:b + n_cp].multiply(sc)
+        if lo.pallas_groups:
+            for grp in lo.pallas_groups:
+                C, n_cp, n_off = grp.n_vars, grp.n_cp, grp.n_off
+                G = len(grp.units)
+                sw = jax.lax.dynamic_slice(
+                    s, (grp.dof_offset,), (C * n_cp,)).reshape(C, n_cp)
+                R = int(max(abs(d) for d in grp.offsets))
+                sp = jnp.pad(sw, ((0, 0), (R, R)))   # zeros: out-of-range
+                shifted = jnp.stack(
+                    [sp[:, R + d:R + d + n_cp] for d in grp.offsets])
+                pbs = jnp.asarray([pb for (_pd, pb) in grp.units])
+                sc = jnp.take(shifted, pbs, axis=1)  # [n_off, G, n_cp]
+                sc = jnp.swapaxes(sc, 0, 1).reshape(-1)
+                region = jax.lax.dynamic_slice(
+                    vals, (grp.base,), (G * n_off * n_cp,))
+                vals = jax.lax.dynamic_update_slice(
+                    vals, region * sc, (grp.base,))
+        else:
+            for (row0, col0, n_cp, d, b) in lo.segments:
+                sc = _shift_mul(jnp.ones(n_cp, s.dtype),
+                                s[col0:col0 + n_cp], d)
+                vals = vals.at[b:b + n_cp].multiply(sc)
         if lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_cols])
         return OffsetMatrix(vals, self.coo_rows, self.coo_cols, lo)
@@ -271,8 +324,23 @@ class OffsetMatrix:
     def scale_rows(self, s: jnp.ndarray) -> "OffsetMatrix":
         lo = self.layout
         vals = self.vals
-        for (row0, col0, n_cp, d, b) in lo.segments:
-            vals = vals.at[b:b + n_cp].multiply(s[row0:row0 + n_cp])
+        if lo.pallas_groups:
+            for grp in lo.pallas_groups:
+                C, n_cp, n_off = grp.n_vars, grp.n_cp, grp.n_off
+                G = len(grp.units)
+                sw = jax.lax.dynamic_slice(
+                    s, (grp.dof_offset,), (C * n_cp,)).reshape(C, n_cp)
+                pds = jnp.asarray([pd for (pd, _pb) in grp.units])
+                sc = jnp.take(sw, pds, axis=0)       # [G, n_cp]
+                sc = jnp.broadcast_to(sc[:, None, :],
+                                      (G, n_off, n_cp)).reshape(-1)
+                region = jax.lax.dynamic_slice(
+                    vals, (grp.base,), (G * n_off * n_cp,))
+                vals = jax.lax.dynamic_update_slice(
+                    vals, region * sc, (grp.base,))
+        else:
+            for (row0, col0, n_cp, d, b) in lo.segments:
+                vals = vals.at[b:b + n_cp].multiply(s[row0:row0 + n_cp])
         if lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_rows])
         return OffsetMatrix(vals, self.coo_rows, self.coo_cols, lo)

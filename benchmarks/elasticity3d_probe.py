@@ -96,7 +96,7 @@ def main():
           flush=True)
     op = multigrid.MGOperator(A, mg_state, hier)
     sol = jax.jit(lambda op, b: krylov.bicgstab(op, b, tol=1e-7,
-                                                maxiter=200))
+                                                maxiter=60))
     y, iters, res = sol(op, residue)
     x = op.apply_m(y)
     tr = float(jnp.linalg.norm(residue - A.mv(x))
@@ -107,7 +107,7 @@ def main():
     from metafem.linsolve.precond import pr_jacobi
     Aj, _ = pr_jacobi(A, None)
     solj = jax.jit(lambda A, b: krylov.bicgstabl(A, b, tol=1e-7,
-                                                 maxiter=2000, s=4))
+                                                 maxiter=600, s=4))
     yj, itj, rj = solj(Aj, residue)
     print(f"bicgstabl(4, Jacobi): iters={int(itj)} rec={float(rj):.2e}",
           flush=True)

@@ -158,16 +158,38 @@ def _assemble_part(tb: TensorTable, cw: CompiledWP, part_state: dict,
     return res_contribs, kel_units
 
 
+def _phase_parts(wf: AssembleWeakform, phase: str):
+    """(res_bils, grad_bils) contributing in a phase.
+
+    Phases: ``lin`` — x-independent gradient blocks, once per step;
+    ``nl`` — residues + x-dependent gradients, per Newton iteration;
+    ``aff_lin`` — linear gradients of *affine* forms only (the frozen
+    f64 affine operator A_td of the refined-residual path, refine.py);
+    ``aff_res`` — residues of affine forms (evaluated at x=0 to freeze
+    the constant part b); ``nonaff_nl`` — residues and nonlinear
+    gradients of nonaffine forms (the small per-refinement-iteration
+    assembly)."""
+    if phase == "lin":
+        return [], wf.linear_gradients
+    if phase == "nl":
+        return wf.residues, wf.nonlinear_gradients
+    aff = wf.affine_form_ids()
+    if phase == "aff_lin":
+        return [], [g for g in wf.linear_gradients if g.form_id in aff]
+    if phase == "aff_res":
+        return [r for r in wf.residues if r.form_id in aff], []
+    if phase == "nonaff_nl":
+        return ([r for r in wf.residues if r.form_id not in aff],
+                wf.nonlinear_gradients)
+    raise ValueError(f"unknown assembly phase {phase!r}")
+
+
 def _phase_bilinears(wf: AssembleWeakform, la: LocalAssembly,
-                     linear_only: bool):
+                     phase: str):
     """(residual positions, K units) this weak form contributes in the
     given phase — shared by the traced run and the host map builder so
     the contribution concatenation orders match exactly."""
-    if linear_only:
-        res_bils: List[AssembleBilinear] = []
-        grad_bils = wf.linear_gradients
-    else:
-        res_bils, grad_bils = wf.residues, wf.nonlinear_gradients
+    res_bils, grad_bils = _phase_parts(wf, phase)
     positions = sorted({b.dual_info[3] for b in res_bils
                         if len(b.dual_info[2]) <= la.max_sd_order})
     units = sorted({la.sparse_mapping[(b.dual_info[3],
@@ -179,7 +201,7 @@ def _phase_bilinears(wf: AssembleWeakform, la: LocalAssembly,
 
 
 def collect_phase_streams(compiled_wps: List[CompiledWP],
-                          pattern: GlobalPattern, linear_only: bool):
+                          pattern: GlobalPattern, phase: str):
     """Host mirror of _run's contribution order, one entry per stream:
     dicts {kind: 'r'|'k', slots: [E, n_cols] int64, volume: bool,
     wp: index}.  The order matches _run's emission exactly (volume weak
@@ -190,7 +212,7 @@ def collect_phase_streams(compiled_wps: List[CompiledWP],
         la, info = cw.la, cw.info
 
         def handle(wf, el_cp_np, pair_slot_np, volume):
-            positions, units = _phase_bilinears(wf, la, linear_only)
+            positions, units = _phase_bilinears(wf, la, phase)
             for pos in positions:
                 streams.append(dict(
                     kind="r", volume=volume, wp=w_i,
@@ -213,10 +235,10 @@ def collect_phase_streams(compiled_wps: List[CompiledWP],
 
 
 def collect_phase_slots(compiled_wps: List[CompiledWP],
-                        pattern: GlobalPattern, linear_only: bool):
+                        pattern: GlobalPattern, phase: str):
     """Concatenated residual DOF rows and K storage slots for one phase
     (all streams; see collect_phase_streams for the per-stream view)."""
-    streams = collect_phase_streams(compiled_wps, pattern, linear_only)
+    streams = collect_phase_streams(compiled_wps, pattern, phase)
     r = [s["slots"].reshape(-1) for s in streams if s["kind"] == "r"]
     k = [s["slots"].reshape(-1) for s in streams if s["kind"] == "k"]
     return (np.concatenate(r) if r else None,
@@ -247,7 +269,7 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
     #: first trace, reused by retraces (the layout is phase-static)
     _maps_cache: Dict[bool, tuple] = {}
 
-    def _run(state, linear_only: bool):
+    def _run(state, phase: str):
         dtype = state["x_star"].dtype
         x_star = state["x_star"]
         t, dt, K_params = state["t"], state["dt"], state["K_params"]
@@ -264,12 +286,11 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
 
             def do_wf(wf: AssembleWeakform, part_state, el_cp_np,
                       pair_slot_np, is_boundary):
-                if linear_only:
-                    res_bils, grad_bils = [], wf.linear_gradients
+                res_bils, grad_bils = _phase_parts(wf, phase)
+                if phase in ("lin", "aff_lin"):
                     inner_infos: List[InnervarInfo] = []
                     exter_infos = wf.linear_extervar_infos
                 else:
-                    res_bils, grad_bils = wf.residues, wf.nonlinear_gradients
                     inner_infos = wf.innervar_infos
                     exter_infos = wf.extervar_infos
                 if not (res_bils or grad_bils):
@@ -312,18 +333,17 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     do_wf(wf, part_state, cw.el_cp[els],
                           info.pair_slot[els], True)
 
-        cache_key = (linear_only,
+        cache_key = (phase,
                      sum(int(r.size) for r in r_rows),
                      sum(int(k.size) for k in k_slots))
-        phase_key = "lin" if linear_only else "nl"
-        device_maps = state.get("maps", {}).get(phase_key)
+        device_maps = state.get("maps", {}).get(phase)
         if device_maps is not None:
             # maps passed as device arrays through the state pytree (the
             # standard path; keeps them out of the program constants)
             from .scatter import apply_device_maps
             from .lattice_reduce import (concat_fast_blocks,
                                          interleave_stream)
-            fast = fast_maps.get(phase_key, {})
+            fast = fast_maps.get(phase, {})
             fast_r, fast_k = fast.get("r", {}), fast.get("k", {})
 
             def reduce_streams(vals_list, fast_dict, extents, total):
@@ -373,7 +393,7 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     K = K + apply_device_maps(device_maps.get("k"),
                                               jnp.concatenate(rest_k),
                                               pattern.n_storage)
-            if linear_only and state.get("ghost_diag") is not None:
+            if phase == "lin" and state.get("ghost_diag") is not None:
                 # unit diagonal on ghost (unoccupied lattice) DOF rows
                 K = K + state["ghost_diag"]
             return residue, K
@@ -394,19 +414,19 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                    if r_map is not None else jnp.zeros(bfs, dtype))
         K = (k_map(jnp.concatenate([v.reshape(-1) for v in k_vals]))
              if k_map is not None else jnp.zeros(pattern.n_storage, dtype))
-        if linear_only and state.get("ghost_diag") is not None:
+        if phase == "lin" and state.get("ghost_diag") is not None:
             K = K + state["ghost_diag"]
         return residue, K
 
     def k_linear(state):
         """K_linear: x-independent gradient blocks, once per step."""
-        _, K = _run(state, linear_only=True)
+        _, K = _run(state, "lin")
         return K
 
     def res_k_nonlinear(state):
         """(residue, K_total = K_linear + nonlinear blocks), per Newton
         iteration."""
-        residue, K = _run(state, linear_only=False)
+        residue, K = _run(state, "nl")
         return residue, state["K_linear"] + K
 
-    return k_linear, res_k_nonlinear
+    return k_linear, res_k_nonlinear, _run

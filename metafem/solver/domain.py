@@ -226,34 +226,19 @@ class FEM_Domain:
                        el_cp=wp.mesh.el_cp.astype(np.int64))
             for i, wp in enumerate(self.workpieces)]
         self._fast_maps = {}
-        k_linear, res_k = make_updaters(
+        k_linear, res_k, run_phase = make_updaters(
             self.tensor_table, self._compiled_wps, self.pattern,
             self.functions, fast_maps=self._fast_maps)
         self._k_linear = jax.jit(k_linear)
         self._res_k = jax.jit(res_k)
+        self._run_phase = run_phase
         # reduction maps, built once on the host: volume streams on
         # lattice meshes reduce via dense interleaved adds (the fast
         # path, lattice_reduce.py — the generic gather of the linear
         # tangent measured 1.5 s at 1.28M DOF vs ~ms dense); the rest
         # (boundary parts, unstructured spill) through gather maps
         # passed in the state pytree as device arrays
-        from .assembly import collect_phase_streams
         from .lattice_reduce import fit_stream_columns
-        from .scatter import (build_compact_gather_reduce,
-                              build_gather_reduce, maps_to_device)
-
-        seg_bases = np.asarray(
-            [s[4] for s in self.pattern.offset_layout.segments])
-        seg_ncp = np.asarray(
-            [s[2] for s in self.pattern.offset_layout.segments])
-        order = np.argsort(seg_bases)
-        seg_bases, seg_ncp = seg_bases[order], seg_ncp[order]
-
-        def k_block_of(slot):
-            j = np.searchsorted(seg_bases, slot, side="right") - 1
-            if j < 0 or slot >= seg_bases[j] + seg_ncp[j]:
-                return None
-            return int(seg_bases[j])
 
         # lattice node-gather fast path: el_cp columns as strided slices
         self._fast_maps["gather"] = {}
@@ -272,57 +257,8 @@ class FEM_Domain:
                 self._fast_maps["gather"][w_i] = fs_list
 
         self._device_maps = {}
-        for phase_key, linear_only in (("lin", True), ("nl", False)):
-            streams = collect_phase_streams(
-                self._compiled_wps, self.pattern, linear_only)
-            fast = {"r": {}, "k": {}}
-            rest = {"r": [], "k": []}
-            counters = {"r": 0, "k": 0}
-            for s in streams:
-                kind = s["kind"]
-                si = counters[kind]
-                counters[kind] += 1
-                fs_list, rest_cols = None, None
-                mesh = self.workpieces[s["wp"]].mesh
-                if s["volume"] and mesh.lattice_shape is not None:
-                    if kind == "k":
-                        block_of = k_block_of
-                    else:
-                        info = self.pattern.wp_infos[s["wp"]]
-
-                        def block_of(slot, info=info):
-                            rel = slot - info.dof_offset
-                            if rel < 0 or rel >= info.n_vars * info.n_cp:
-                                return None
-                            return (info.dof_offset
-                                    + (rel // info.n_cp) * info.n_cp)
-                    slots2 = s["slots"].reshape(s["slots"].shape[0], -1)
-                    fs_list, rest_cols = fit_stream_columns(
-                        slots2, mesh.lattice_shape, block_of)
-                if fs_list:
-                    # per-column split: fitting columns reduce dense,
-                    # the rest (e.g. COO-spilled offsets) via gather
-                    fast[kind][si] = (fs_list, rest_cols)
-                    if rest_cols.size:
-                        rest[kind].append(
-                            slots2[:, rest_cols].reshape(-1))
-                else:
-                    rest[kind].append(s["slots"].reshape(-1))
-            self._fast_maps[phase_key] = fast
-
-            entry = {}
-            if rest["r"]:
-                entry["r"] = maps_to_device(build_gather_reduce(
-                    np.concatenate(rest["r"]),
-                    self.pattern.basicfield_size))
-            if rest["k"]:
-                gr, touched = build_compact_gather_reduce(
-                    np.concatenate(rest["k"]), self.pattern.n_storage)
-                entry["k"] = maps_to_device(gr)
-                if touched is not None:
-                    entry["k_touched"] = jnp.asarray(
-                        touched.astype(np.int32))
-            self._device_maps[phase_key] = entry
+        for phase_key in ("lin", "nl"):
+            self._build_phase_maps(phase_key)
         self._ghost_diag = self._ghost_diag_vector()
         # occupancy mask for the multigrid preconditioner (single lattice
         # workpiece with ghost slots; linsolve/multigrid.mask_for_domain)
@@ -335,6 +271,84 @@ class FEM_Domain:
         self.update_mesh()
         if self.linear_solver is None:
             self.linear_solver = self.make_iterative_solver()
+
+    def _build_phase_maps(self, phase_key: str) -> None:
+        """Build the host-side reduction maps for one assembly phase
+        (see assembly._phase_parts for the phase vocabulary): lattice
+        fast-interleave streams where the slot columns are affine in the
+        lattice index, padded gather maps (device arrays) for the rest.
+        Idempotent; called for 'lin'/'nl' at compile() and lazily for the
+        refined-residual phases (freeze_refined_residual)."""
+        if phase_key in self._device_maps:
+            return
+        from .assembly import collect_phase_streams
+        from .lattice_reduce import fit_stream_columns
+        from .scatter import (build_compact_gather_reduce,
+                              build_gather_reduce, maps_to_device)
+
+        seg_bases = np.asarray(
+            [s[4] for s in self.pattern.offset_layout.segments])
+        seg_ncp = np.asarray(
+            [s[2] for s in self.pattern.offset_layout.segments])
+        order = np.argsort(seg_bases)
+        seg_bases, seg_ncp = seg_bases[order], seg_ncp[order]
+
+        def k_block_of(slot):
+            j = np.searchsorted(seg_bases, slot, side="right") - 1
+            if j < 0 or slot >= seg_bases[j] + seg_ncp[j]:
+                return None
+            return int(seg_bases[j])
+
+        streams = collect_phase_streams(
+            self._compiled_wps, self.pattern, phase_key)
+        fast = {"r": {}, "k": {}}
+        rest = {"r": [], "k": []}
+        counters = {"r": 0, "k": 0}
+        for s in streams:
+            kind = s["kind"]
+            si = counters[kind]
+            counters[kind] += 1
+            fs_list, rest_cols = None, None
+            mesh = self.workpieces[s["wp"]].mesh
+            if s["volume"] and mesh.lattice_shape is not None:
+                if kind == "k":
+                    block_of = k_block_of
+                else:
+                    info = self.pattern.wp_infos[s["wp"]]
+
+                    def block_of(slot, info=info):
+                        rel = slot - info.dof_offset
+                        if rel < 0 or rel >= info.n_vars * info.n_cp:
+                            return None
+                        return (info.dof_offset
+                                + (rel // info.n_cp) * info.n_cp)
+                slots2 = s["slots"].reshape(s["slots"].shape[0], -1)
+                fs_list, rest_cols = fit_stream_columns(
+                    slots2, mesh.lattice_shape, block_of)
+            if fs_list:
+                # per-column split: fitting columns reduce dense,
+                # the rest (e.g. COO-spilled offsets) via gather
+                fast[kind][si] = (fs_list, rest_cols)
+                if rest_cols.size:
+                    rest[kind].append(
+                        slots2[:, rest_cols].reshape(-1))
+            else:
+                rest[kind].append(s["slots"].reshape(-1))
+        self._fast_maps[phase_key] = fast
+
+        entry = {}
+        if rest["r"]:
+            entry["r"] = maps_to_device(build_gather_reduce(
+                np.concatenate(rest["r"]),
+                self.pattern.basicfield_size))
+        if rest["k"]:
+            gr, touched = build_compact_gather_reduce(
+                np.concatenate(rest["k"]), self.pattern.n_storage)
+            entry["k"] = maps_to_device(gr)
+            if touched is not None:
+                entry["k_touched"] = jnp.asarray(
+                    touched.astype(np.int32))
+        self._device_maps[phase_key] = entry
 
     def _ghost_diag_vector(self):
         """Unit-diagonal regularizer for ghost (unoccupied lattice) DOF
@@ -436,6 +450,69 @@ class FEM_Domain:
             comps.append(G)
         self._k_linear_td = jnp.stack(comps)
 
+    def freeze_refined_residual(self) -> None:
+        """Freeze the exact-residual decomposition used by
+        ``make_refined_step``:
+
+            R(x*) = sum_td A_td @ x*[td] + b + R_nonaffine(x*)
+
+        where A_td / b are the affine forms' gradients / residues-at-zero
+        (an exact discrete identity — every gradient of an affine form is
+        x-independent), assembled ONCE here in f64, and R_nonaffine is
+        the (typically boundary-only) remainder re-assembled per
+        iteration, also in f64.  This is what lets an f32 hot path reach
+        the reference's 1e-6 normalized-residual bar (pikachu.jl:106):
+        residuals are exact while tangent solves and MG cycles stay f32.
+
+        Same validity contract as freeze_linear_tangent: geometry,
+        controlpoint fields, and global constants frozen; affine
+        coefficients may not reference t/dt.  Call again after changing
+        any of those.  If a *volume* weak form has nonaffine terms, the
+        volume tables are kept in f64 and the per-iteration remainder
+        assembly runs over the whole volume (correct, but the fast-path
+        benefit is then limited to the affine terms)."""
+        for ph in ("aff_lin", "aff_res", "nonaff_nl"):
+            self._build_phase_maps(ph)
+
+        def up(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                      jnp.floating):
+                return jnp.asarray(a, dtype=jnp.float64)
+            return a
+
+        vol_nonaff = any(
+            wp.local_assembly.assembled_weakform.affine_form_ids()
+            != {r.form_id
+                for r in wp.local_assembly.assembled_weakform.residues}
+            for wp in self.workpieces)
+        up_tree = lambda t: jax.tree_util.tree_map(up, t)  # noqa: E731
+        # f64 table views for the per-iteration nonaffine assembly:
+        # boundary parts + fields always; volume only when needed
+        wp64 = [{"el": up_tree(ws["el"]) if vol_nonaff else ws["el"],
+                 "bdy": up_tree(ws["bdy"]),
+                 "fields": up_tree(ws["fields"])}
+                for ws in self.state["wp"]]
+
+        # one-time full-f64 state for the affine freeze
+        L = self.pattern.max_time_level
+        st = dict(self._runtime_state())
+        st["wp"] = [{"el": up_tree(ws["el"]), "bdy": up_tree(ws["bdy"]),
+                     "fields": up_tree(ws["fields"])}
+                    for ws in self.state["wp"]]
+        st["x_star"] = jnp.zeros((L + 1, self.pattern.basicfield_size),
+                                 jnp.float64)
+        st["t"] = jnp.asarray(self.t, jnp.float64)
+        st["dt"] = jnp.asarray(self.dt, jnp.float64)
+        run64 = jax.jit(self._run_phase, static_argnums=1)
+        A_list = []
+        for td in range(L + 1):
+            one_hot = np.zeros(L + 1)
+            one_hot[td] = 1.0
+            st["K_params"] = jnp.asarray(one_hot, jnp.float64)
+            A_list.append(run64(st, "aff_lin")[1])
+        b64 = run64(st, "aff_res")[0]
+        self._refined = {"A64": jnp.stack(A_list), "b64": b64, "wp": wp64}
+
     def setup_mg(self, **mg_opts) -> None:
         """Build the geometric-multigrid state ONCE from the tangent at
         the current x and stash it in the runtime state, for jitted
@@ -464,6 +541,7 @@ class FEM_Domain:
                 "mg_mask": getattr(self, "_mg_mask", None),
                 "mg_frozen": getattr(self, "_mg_frozen", None),
                 "K_linear_td": getattr(self, "_k_linear_td", None),
+                "refined": getattr(self, "_refined", None),
                 "maps": getattr(self, "_device_maps", {}),
                 "x_star": self.x,
                 "K_linear": jnp.zeros(self.pattern.n_storage, self.dtype),
@@ -515,6 +593,13 @@ class FEM_Domain:
         """
         from .jit_step import make_jitted_step
         return make_jitted_step(self, **kwargs)
+
+    def make_refined_step(self, **kwargs):
+        """Exact-f64-residual Newton step at f32 solve cost (see
+        jit_step.make_refined_step).  Call freeze_linear_tangent(),
+        freeze_refined_residual() and setup_mg() first."""
+        from .jit_step import make_refined_step
+        return make_refined_step(self, **kwargs)
 
     def update_one_step_jit(self, max_iter: int = 4, **kwargs) -> float:
         """Drive one step through the jitted path (single dispatch)."""

@@ -45,10 +45,14 @@ class AssembleBilinear:
     ``base_term`` is the scalar coefficient evaluated at quadrature points;
     ``dual_info`` selects the test-function row block; ``derivative_info``
     (None for residues) selects the trial-function column block.
+    ``form_id`` links residues and gradients back to the BilinearForm they
+    came from (per-AssembleWeakform numbering) — used by the refined
+    affine/nonaffine split (solver/refine.py).
     """
     base_term: GroundTerm
     dual_info: InnervarInfo
     derivative_info: Optional[InnervarInfo]
+    form_id: int = -1
 
 
 @dataclasses.dataclass
@@ -63,6 +67,15 @@ class AssembleWeakform:
     def is_empty(self) -> bool:
         return not (self.residues or self.linear_gradients
                     or self.nonlinear_gradients)
+
+    def affine_form_ids(self) -> Set[int]:
+        """Forms whose residue is affine in the DOF vector: every gradient
+        is x-independent (linear), so residue(x) = sum_td G_td @ x[td] +
+        residue(0) holds exactly at the discrete level.  Used by the
+        refined-residual path to replace per-iteration volume assembly
+        with frozen f64 tangent streams."""
+        nonaffine = {b.form_id for b in self.nonlinear_gradients}
+        return {b.form_id for b in self.residues} - nonaffine
 
 
 @dataclasses.dataclass
@@ -156,11 +169,12 @@ def construct_assemble_weakform(tb: TensorTable,
             if it not in dst:
                 dst.append(it)
 
-    for bf in forms:
+    for form_id, bf in enumerate(forms):
         dual_info = _innervar_info(dim, bf.dual_word, bvar_mapping)
         inner_words, exter_words = extract_words(tb, bf.base_term)
 
-        residues.append(AssembleBilinear(bf.base_term, dual_info, None))
+        residues.append(AssembleBilinear(bf.base_term, dual_info, None,
+                                         form_id))
         _union(innervar_infos,
                [_innervar_info(dim, w, bvar_mapping) for w in inner_words])
         _union(extervar_infos, [_extervar_info(dim, w) for w in exter_words])
@@ -169,7 +183,8 @@ def construct_assemble_weakform(tb: TensorTable,
             diffed = simplify_common(add(termvec))
             d_inner, d_exter = extract_words(tb, diffed)
             derivative_info = _innervar_info(dim, diff_word, bvar_mapping)
-            bil = AssembleBilinear(diffed, dual_info, derivative_info)
+            bil = AssembleBilinear(diffed, dual_info, derivative_info,
+                                   form_id)
             is_linear = not d_inner and all(
                 INTEGRATION_POINT_VAR not in tb.registry.attributes(w.base)
                 or w.base == "n" for w in d_exter)

@@ -1,0 +1,182 @@
+"""Refined-residual path (mixed-precision iterative refinement):
+the frozen affine decomposition R(x) = sum_td A_td @ x[td] + b + R_nl(x)
+must be an exact discrete identity, and make_refined_step must converge
+far below the f32 residual floor while matching the plain Newton path.
+
+The reference's quality bar this path exists for: converge_tol 1e-6 at
+1M DOF (docs pikachu.jl:106) — unreachable by a pure-f32 hot path
+(~1e-7|K||x| assembly floor)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import metafem as mf
+from metafem import Bilinear
+from metafem.linsolve import krylov
+from metafem.linsolve.block_offset import OffsetMatrix
+from metafem.solver.domain import FEM_Domain
+
+
+def _radiating_thermal(nel=(16, 8), transient=False):
+    """Thermal strip with convection + T^4 radiation boundary (the
+    2D_Script.jl configuration): affine volume, nonaffine boundary."""
+    L1, L2 = 0.02, 0.01
+    vert, conn = mf.make_square((L1, L2), nel)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(2)
+    wp = dom.add_workpiece(geo)
+    eps = 1e-9
+    ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
+                            | (c[:, 0] > L1 - eps))
+    top = mf.select_facets(geo, lambda c: c[:, 1] > L2 - eps)
+    bg_fix = dom.add_boundary(wp, ends)
+    bg_top = dom.add_boundary(wp, top)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    n = dom.sym("n")
+    i = mf.index("i")
+    vol = -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s)
+    if transient:
+        dt_ = T.dt()
+        vol = vol - 1.0e5 * Bilinear(T, dt_)
+    dom.assign_workpiece_weakform(wp, vol)
+    dom.assign_boundary_weakform(
+        wp, bg_fix, 1000.0 * Bilinear(T, 1173.15 - T)
+        + 3.0 * Bilinear(T, n[i] * T.d(i)))
+    dom.assign_boundary_weakform(
+        wp, bg_top, 50.0 * Bilinear(T, 323.15 - T)
+        + 0.7 * 5.669e-8 * Bilinear(T, 323.15 ** 4 - T ** 4))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    dom.mesh_classical(itp_order=2, itg_order=5, itp_type="Serendipity")
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh = dom.workpieces[wp].mesh
+    dom.set_field(wp, "T", np.full(mesh.n_cp, 323.15))
+    dom.refresh_fields()
+    dom.assemble_x()
+    return dom
+
+
+def test_affine_classification():
+    dom = _radiating_thermal()
+    la = dom.workpieces[0].local_assembly
+    wf_vol = la.assembled_weakform
+    # volume: conduction + source, both affine
+    assert wf_vol.affine_form_ids() == {r.form_id for r in wf_vol.residues}
+    # fixed-temperature boundary (penalty + flux): affine
+    wf_fix = la.assembled_boundary_weakform_pairs[0]
+    assert wf_fix.affine_form_ids() == {r.form_id for r in wf_fix.residues}
+    # radiating boundary: the T^4 term makes its (merged-by-test-word)
+    # form nonaffine — assembled per refinement iteration
+    wf_top = la.assembled_boundary_weakform_pairs[1]
+    assert wf_top.affine_form_ids() == set()
+    assert {r.form_id for r in wf_top.residues}
+
+
+@pytest.mark.parametrize("transient", [False, True])
+def test_refined_residual_identity(transient):
+    """R_refined(x) == res_k(x) exactly (both f64 on CPU) at a random
+    state — validates the affine decomposition and the nonaffine
+    remainder assembly against the direct path."""
+    dom = _radiating_thermal(transient=transient)
+    if transient:
+        dom.time_discretization.update_time(0.5,
+                                            dom.pattern.max_time_level)
+    dom.freeze_linear_tangent()
+    dom.freeze_refined_residual()
+    state = dom._runtime_state()
+
+    rng = np.random.default_rng(0)
+    xs = dom.x + jnp.asarray(rng.normal(0.0, 50.0, dom.x.shape))
+    st = dict(state)
+    st["x_star"] = xs
+    st["K_linear"] = dom._k_linear(st)
+    r_direct, _ = dom._res_k(st)
+
+    ref = state["refined"]
+    lo = dom.pattern.offset_layout
+    r = ref["b64"]
+    for td in range(dom.pattern.max_time_level + 1):
+        r = r + OffsetMatrix.from_values(ref["A64"][td], lo).mv(xs[td])
+    st64 = dict(st)
+    st64["wp"] = ref["wp"]
+    r_nl, _ = dom._run_phase(st64, "nonaff_nl")
+    r_refined = r + r_nl
+
+    scale = np.abs(np.asarray(r_direct)).max()
+    np.testing.assert_allclose(np.asarray(r_refined),
+                               np.asarray(r_direct),
+                               atol=1e-12 * scale)
+
+
+def test_refined_step_converges_below_f32_floor():
+    """The refined step must reach residuals ~6 orders below the f32
+    assembly floor and reproduce the plain Newton solution."""
+    dom = _radiating_thermal()
+    dom.converge_tol = 1e-11
+    dom.freeze_linear_tangent()
+    dom.setup_mg()
+    dom.freeze_refined_residual()
+    state = dom._runtime_state()
+
+    step = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                 max_refine=12)
+    x_new, dx, res, it = step(state, dom.x, jnp.float64(0.0),
+                              jnp.float64(1.0))
+    assert float(res) < 1e-11, float(res)
+
+    step2 = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=80,
+                                 max_newton=8, max_pass=2, precond="mg")
+    x2, _, res2, _ = step2(state, dom.x, jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res2) < 1e-11
+    scale = np.abs(np.asarray(x2)).max()
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x2),
+                               atol=1e-10 * scale)
+
+
+def test_refined_step_jacobi_precond():
+    """The refined step with a Jacobi-preconditioned inner solve (for
+    meshes where the MG lattice path is unavailable)."""
+    dom = _radiating_thermal(nel=(10, 6))
+    dom.converge_tol = 1e-10
+    dom.freeze_linear_tangent()
+    dom.freeze_refined_residual()
+    state = dom._runtime_state()
+    step = dom.make_refined_step(sv_func=krylov.bicgstabl, s=2,
+                                 maxiter=400, max_refine=12, max_pass=2,
+                                 precond="jacobi")
+    _, _, res, _ = step(state, dom.x, jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res) < 1e-10, float(res)
+
+
+def test_refined_transient_stepping():
+    """Multiple refined transient steps track the plain-path trajectory
+    (A64 has two time levels; x persists in f64)."""
+    dom = _radiating_thermal(transient=True)
+    dom.dt = 0.5
+    dom.converge_tol = 1e-11
+    dom.time_discretization.update_time(0.5, dom.pattern.max_time_level)
+    dom.freeze_linear_tangent()
+    dom.setup_mg()
+    dom.freeze_refined_residual()
+    state = dom._runtime_state()
+
+    step = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=80,
+                                 max_refine=12)
+    step2 = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=80,
+                                 max_newton=8, max_pass=2, precond="mg",
+                                 static_k_linear=True, reuse_mg=True)
+    x_r, x_p = dom.x, dom.x
+    t = 0.0
+    for _ in range(3):
+        t += 0.5
+        x_r, _, res_r, _ = step(state, x_r, jnp.float64(t),
+                                jnp.float64(0.5))
+        x_p, _, res_p, _ = step2(state, x_p, jnp.float64(t),
+                                 jnp.float64(0.5))
+        assert float(res_r) < 1e-11
+    scale = np.abs(np.asarray(x_p)).max()
+    np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_p),
+                               atol=1e-9 * scale)

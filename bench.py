@@ -19,9 +19,16 @@ DOFs/sec (~1 s/step for a 1M-DOF implicit solve is single-GPU-class).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _t(msg, t0):
+    print(f"[bench] {msg}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    return time.perf_counter()
 
 
 def main():
@@ -32,6 +39,7 @@ def main():
     from metafem import Bilinear
     from metafem.solver.domain import FEM_Domain
 
+    t0 = time.perf_counter()
     # ~1.28M DOF (BASELINE.md north star), f32 hot path on TPU
     nel = (800, 400)
     L1, L2 = 0.02, 0.01
@@ -70,6 +78,7 @@ def main():
     dom.set_field(wp, "T", np.full(mesh.n_cp, Tenv))
     dom.refresh_fields()
     dom.assemble_x()
+    t0 = _t("setup", t0)
 
     # the reference's convergence bar (pikachu.jl:106)
     dom.converge_tol = 1e-6
@@ -80,8 +89,11 @@ def main():
     # per-step-assembled f32 path if the mesh fails lattice numbering.
     try:
         dom.freeze_linear_tangent()
+        t0 = _t("freeze_linear_tangent", t0)
         dom.setup_mg()
+        t0 = _t("setup_mg", t0)
         dom.freeze_refined_residual()
+        t0 = _t("freeze_refined_residual", t0)
         step = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
                                      max_refine=10, max_pass=1)
         x0 = dom.x.astype(jnp.float64)
@@ -107,6 +119,7 @@ def main():
         return time.perf_counter() - t0, r
 
     timed(1e-4)                            # compile + warm
+    t0 = _t("step compile+warm", t0)
     results = [timed(1e-4 * (t + 2)) for t in range(3)]
     dt = float(np.median([t for t, _ in results]))
     res_final = results[-1][1]

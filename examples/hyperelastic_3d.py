@@ -47,13 +47,16 @@ def build(e_number=2, LW_ratio=10, material="neo_hookean"):
             "W", [], 0.5 * mu * (C[i, i] - 3.0 - 2.0 * mf.log(J))
             + 0.5 * lam * (J - 1.0) ** 2)
     elif material == "mooney_rivlin":
-        # W = c10 (I1_bar - 3) + c01 (I2_bar - 3) + 0.5 lam (J-1)^2 with
-        # mu split evenly between c10 and c01 (static_Mooney_Rivlin.jl)
+        # W = C10 (I1 - 3 - 2 log J) + C01 (I2 - 3 - 4 log J)
+        #     + 0.5 lam (J-1)^2   (static_Mooney_Rivlin.jl:52); C10/C01
+        # are runtime-changeable globals like the reference's setups loop
+        c10 = dom.external_var("c10", "GLOBAL_VAR")
+        c01 = dom.external_var("c01", "GLOBAL_VAR")
         I1 = C[i, i]
         I2 = 0.5 * (C[i, i] * C[j, j] - C[i, j] * C[i, j])
         W = dom.define(
-            "W", [], 0.25 * mu * (I1 - 3.0 - 2.0 * mf.log(J))
-            + 0.25 * mu * (I2 - 3.0 - 4.0 * mf.log(J))
+            "W", [], c10 * (I1 - 3.0 - 2.0 * mf.log(J))
+            + c01 * (I2 - 3.0 - 4.0 * mf.log(J))
             + 0.5 * lam * (J - 1.0) ** 2)
     else:
         raise ValueError(material)
@@ -75,11 +78,15 @@ def build(e_number=2, LW_ratio=10, material="neo_hookean"):
     return dom, wp, dict(L=size[0], h=L_box)
 
 
-def run_loading(dom, wp, mu, lam, total_steps, sigma_step, verbose=False):
+def run_loading(dom, wp, mu, lam, total_steps, sigma_step, verbose=False,
+                **extra_globals):
     """Incremental loading (static_Neo_Hookean.jl:99-121); returns
-    (applied nominal stress, mean end displacement / L) per step."""
+    (applied nominal stress, mean end displacement / L) per step.
+    ``extra_globals``: further material constants (e.g. c10/c01 for
+    Mooney-Rivlin) set on dom.global_vars."""
     mesh = dom.workpieces[wp].mesh
-    dom.global_vars.update(mu=mu, lam=lam, tau_b=1000 * max(mu, lam))
+    dom.global_vars.update(mu=mu, lam=lam, tau_b=1000 * max(mu, lam),
+                           **extra_globals)
     dom.x = dom.x * 0.0
     dom.dessemble_x()
     P1s, d1s = [], []
@@ -112,6 +119,32 @@ def analytic_uniaxial_nh(sigma, mu, lam):
         return [mu * l1 + g / l1 - sigma, mu * l2 + g / l2]
 
     l1, l2 = fsolve(eqs, (1.0 + sigma / (3 * mu), 1.0), xtol=1e-12)
+    return l1 - 1.0
+
+
+def analytic_uniaxial_mr(sigma, c10, c01, lam):
+    """Homogeneous uniaxial Mooney-Rivlin: F = diag(l1, l2, l2) with the
+    lateral direction stress-free — solve dW/dl1 = sigma (nominal),
+    dW/dl2 = 0 from the same energy as the weak form (the reference
+    plots the equivalent closed form, static_Mooney_Rivlin.jl:128-129)."""
+    from scipy.optimize import fsolve
+
+    def W(l1, l2):
+        I1 = l1 ** 2 + 2 * l2 ** 2
+        I2 = l2 ** 4 + 2 * (l1 * l2) ** 2
+        J = l1 * l2 * l2
+        return (c10 * (I1 - 3 - 2 * np.log(J))
+                + c01 * (I2 - 3 - 4 * np.log(J))
+                + 0.5 * lam * (J - 1) ** 2)
+
+    def eqs(v):
+        l1, l2 = v
+        h = 1e-7
+        return [(W(l1 + h, l2) - W(l1 - h, l2)) / (2 * h) - sigma,
+                (W(l1, l2 + h) - W(l1, l2 - h)) / (2 * h)]
+
+    l1, l2 = fsolve(eqs, (1.0 + sigma / (6 * (c10 + c01)), 1.0),
+                    xtol=1e-12)
     return l1 - 1.0
 
 

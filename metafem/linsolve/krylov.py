@@ -233,6 +233,83 @@ def bicgstabl(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
     return x, iters, _nn(r0)
 
 
+@partial(jax.jit, static_argnames=("s",))
+def bicgstabl_gs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000,
+                 pl=None, s: int = 2):
+    """BiCGStab(l) with the minimal-residual part solved by modified
+    Gram-Schmidt orthogonalization (Sleijpen-Fokkema 1993, Alg. 3.1) —
+    the reference ships this as ``bicgstabl_GS!`` and recommends it over
+    the LU/normal-equations MR part for stability (03_BiCGstabl.jl:16):
+    MGS works on the residual vectors directly instead of the Gram
+    matrix, whose conditioning is squared."""
+    l = s
+    x, r0 = _prep(A, b, x0, pl)
+    rt = r0
+    u0 = jnp.zeros_like(b)
+    rho0 = jnp.asarray(1.0, b.dtype)
+    alpha = jnp.asarray(0.0, b.dtype)
+    omega = jnp.asarray(1.0, b.dtype)
+
+    def cond(c):
+        x, r0, u0, rho0, alpha, omega, i = c
+        return (_nn(r0) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r0, u0, rho0, alpha, omega, i = c
+        rho0 = -omega * rho0
+        rs = [r0] + [jnp.zeros_like(b) for _ in range(l)]
+        us = [u0] + [jnp.zeros_like(b) for _ in range(l)]
+        for j in range(l):  # BiCG part (same as bicgstabl)
+            rho1 = _dot(rt, rs[j])
+            beta = alpha * rho1 / rho0
+            rho0 = rho1
+            for k in range(j + 1):
+                us[k] = rs[k] - beta * us[k]
+            us[j + 1] = _pl(pl, A.mv(us[j]))
+            gamma = _dot(rt, us[j + 1])
+            alpha = rho0 / gamma
+            for k in range(j + 1):
+                rs[k] = rs[k] - alpha * us[k + 1]
+            rs[j + 1] = _pl(pl, A.mv(rs[j]))
+            x = x + alpha * us[0]
+        # MR part by MGS: orthogonalize rs[1..l] in place, tracking the
+        # projection coefficients tau and the plane sizes sigma
+        tau = [[None] * (l + 1) for _ in range(l + 1)]
+        sigma = [None] * (l + 1)
+        gamma_p = [None] * (l + 1)
+        for j in range(1, l + 1):
+            for i_ in range(1, j):
+                tij = _dot(rs[j], rs[i_]) / sigma[i_]
+                tau[i_][j] = tij
+                rs[j] = rs[j] - tij * rs[i_]
+            sigma[j] = _dot(rs[j], rs[j])
+            gamma_p[j] = _dot(rs[0], rs[j]) / sigma[j]
+        gam = [None] * (l + 1)
+        gam[l] = gamma_p[l]
+        omega = gam[l]
+        for j in range(l - 1, 0, -1):
+            gam[j] = gamma_p[j] - sum(
+                (tau[j][i_] * gam[i_] for i_ in range(j + 1, l + 1)),
+                jnp.asarray(0.0, b.dtype))
+        gam_pp = [None] * l
+        for j in range(1, l):
+            gam_pp[j] = gam[j + 1] + sum(
+                (tau[j][i_] * gam[i_ + 1] for i_ in range(j + 1, l)),
+                jnp.asarray(0.0, b.dtype))
+        x = x + gam[1] * rs[0]
+        rs[0] = rs[0] - gamma_p[l] * rs[l]
+        us[0] = us[0] - gam[l] * us[l]
+        for j in range(1, l):
+            us[0] = us[0] - gam[j] * us[j]
+            x = x + gam_pp[j] * rs[j]
+            rs[0] = rs[0] - gamma_p[j] * rs[j]
+        return x, rs[0], us[0], rho0, alpha, omega, i + l
+
+    x, r0, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r0, u0, rho0, alpha, omega, 0))
+    return x, iters, _nn(r0)
+
+
 # ---------------------------------------------------------------------------
 # IDR(s) — biortho variant (04_IDRs.jl idrs!)
 # ---------------------------------------------------------------------------
@@ -322,10 +399,30 @@ def gmres(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
             H = H.at[:, j].set(hcol)
             H = H.at[j + 1, j].set(hnorm)
             V = V.at[j + 1].set(w / jnp.where(hnorm == 0, 1.0, hnorm))
-        e1 = jnp.zeros(restart + 1, b.dtype).at[0].set(beta)
-        # least squares via normal equations on the small Hessenberg
-        y = jnp.linalg.solve(H.T @ H + 1e-300 * jnp.eye(restart, dtype=b.dtype),
-                             H.T @ e1)
+        # Givens-rotation QR of the Hessenberg (05_GMRES.jl:7-37): one
+        # rotation per column eliminates the subdiagonal; |g[restart]| is
+        # the residual-norm estimate.  (Normal equations would square the
+        # conditioning — fatal in the f32 hot path at kappa ~ 1e6.)
+        R = H
+        g = jnp.zeros(restart + 1, b.dtype).at[0].set(beta)
+        for j in range(restart):
+            a, c_ = R[j, j], R[j + 1, j]
+            denom = jnp.sqrt(a * a + c_ * c_)
+            safe = jnp.where(denom == 0, 1.0, denom)
+            cs = jnp.where(denom == 0, 1.0, a / safe)
+            sn = jnp.where(denom == 0, 0.0, c_ / safe)
+            row_j = cs * R[j] + sn * R[j + 1]
+            row_j1 = cs * R[j + 1] - sn * R[j]
+            R = R.at[j].set(row_j).at[j + 1].set(row_j1)
+            gj = cs * g[j] + sn * g[j + 1]
+            gj1 = cs * g[j + 1] - sn * g[j]
+            g = g.at[j].set(gj).at[j + 1].set(gj1)
+        Rd = jnp.where(jnp.abs(jnp.diag(R[:restart])) == 0,
+                       1.0, jnp.diag(R[:restart]))
+        Ru = (R[:restart, :restart]
+              * (1.0 - jnp.eye(restart, dtype=b.dtype))
+              + jnp.diag(Rd))
+        y = jax.scipy.linalg.solve_triangular(Ru, g[:restart], lower=False)
         return x + y @ V[:restart]
 
     def cond(c):

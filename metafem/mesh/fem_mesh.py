@@ -122,9 +122,14 @@ def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
         if np.abs(k - np.round(k)).max() > 0.25:
             return bail
         axes.append((coords[0], h, int(np.round(k[-1])) + 1))
-    lattice_size = int(np.prod([a[2] for a in axes]))
-    if lattice_size > max_inflation * n_real:
-        return bail
+    # Python-int product: np.prod over int64 silently overflows (an
+    # irregular mesh can imply an astronomically fine lattice), wrapping
+    # negative and slipping past the inflation guard
+    lattice_size = 1
+    for (_, _, nd) in axes:
+        lattice_size *= nd
+        if lattice_size > max_inflation * n_real:
+            return bail
 
     idx = np.zeros(n_real, dtype=np.int64)
     for d, (c0, h, nd) in enumerate(axes):

@@ -337,17 +337,22 @@ class FEM_Domain:
         self._fast_maps[phase_key] = fast
 
         entry = {}
+        host = {}
         if rest["r"]:
-            entry["r"] = maps_to_device(build_gather_reduce(
-                np.concatenate(rest["r"]),
-                self.pattern.basicfield_size))
+            host["r"] = build_gather_reduce(
+                np.concatenate(rest["r"]), self.pattern.basicfield_size)
+            entry["r"] = maps_to_device(host["r"])
         if rest["k"]:
             gr, touched = build_compact_gather_reduce(
                 np.concatenate(rest["k"]), self.pattern.n_storage)
+            host["k"] = (gr, touched)
             entry["k"] = maps_to_device(gr)
             if touched is not None:
                 entry["k_touched"] = jnp.asarray(
                     touched.astype(np.int32))
+        if not hasattr(self, "_host_maps"):
+            self._host_maps = {}
+        self._host_maps[phase_key] = host
         self._device_maps[phase_key] = entry
 
     def _ghost_diag_vector(self):
@@ -386,33 +391,51 @@ class FEM_Domain:
     # ------------------------------------------------------------------
     # runtime state
     # ------------------------------------------------------------------
+    def _geometry_state(self, dtype, device=None,
+                        volume: bool = True) -> list:
+        """Geometry tables per workpiece, computed from the host coords at
+        the given dtype (optionally pinned to a device — the refined
+        freeze builds f64 tables on the CPU backend so nothing large
+        crosses the device transport).  ``volume=False`` skips the
+        element tables (boundary-only f64 views for the nonaffine
+        remainder)."""
+        import contextlib
+        ctx = (jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
+        wp_states = []
+        with ctx:
+            for i, wp in enumerate(self.workpieces):
+                coords = jnp.asarray(wp.mesh.cp_coords, dtype=dtype)
+                el_cp = jnp.asarray(wp.mesh.el_cp, dtype=jnp.int32)
+                el_state = None
+                if volume:
+                    itg_vals, itg_w = update_element_geometry(
+                        coords, el_cp, wp.disc)
+                    # note: NO device pair_slot — the contribution->slot
+                    # maps are host-side (gather maps / lattice fast
+                    # streams); a [E,na,na] int32 table is ~280 MB of
+                    # dead HBM at 1.4M DOF in 3D
+                    el_state = {"itg_vals": itg_vals, "weights": itg_w,
+                                "el_cp": el_cp}
+                bdy_state: Dict[int, list] = {}
+                for bg_id, parts in wp.bdy_parts.items():
+                    plist = []
+                    for (ei, els) in parts:
+                        els_j = jnp.asarray(els, dtype=jnp.int32)
+                        f_vals, f_w, f_n = update_facet_geometry(
+                            coords, el_cp[els_j], wp.disc, ei)
+                        plist.append({"itg_vals": f_vals, "weights": f_w,
+                                      "normals": f_n,
+                                      "el_cp": el_cp[els_j]})
+                    bdy_state[bg_id] = plist
+                wp_states.append({"el": el_state, "bdy": bdy_state,
+                                  "fields": {}})
+        return wp_states
+
     def update_mesh(self) -> None:
         """(Re)compute geometry tables into the runtime state pytree
         (update_Mesh analog)."""
-        wp_states = []
-        for i, wp in enumerate(self.workpieces):
-            coords = jnp.asarray(wp.mesh.cp_coords, dtype=self.dtype)
-            el_cp = jnp.asarray(wp.mesh.el_cp, dtype=jnp.int32)
-            itg_vals, itg_w = update_element_geometry(coords, el_cp, wp.disc)
-            el_state = {"itg_vals": itg_vals, "weights": itg_w,
-                        "el_cp": el_cp}
-            # note: NO device pair_slot — the contribution->slot maps are
-            # host-side (gather maps / lattice fast streams); a [E,na,na]
-            # int32 table is ~280 MB of dead HBM at 1.4M DOF in 3D
-            bdy_state: Dict[int, list] = {}
-            for bg_id, parts in wp.bdy_parts.items():
-                plist = []
-                for (ei, els) in parts:
-                    els_j = jnp.asarray(els, dtype=jnp.int32)
-                    f_vals, f_w, f_n = update_facet_geometry(
-                        coords, el_cp[els_j], wp.disc, ei)
-                    plist.append({"itg_vals": f_vals, "weights": f_w,
-                                  "normals": f_n,
-                                  "el_cp": el_cp[els_j]})
-                bdy_state[bg_id] = plist
-            wp_states.append({"el": el_state, "bdy": bdy_state,
-                              "fields": {}})
-        self.state = {"wp": wp_states}
+        self.state = {"wp": self._geometry_state(self.dtype)}
         self.refresh_fields()
 
     def refresh_fields(self) -> None:
@@ -474,44 +497,76 @@ class FEM_Domain:
         for ph in ("aff_lin", "aff_res", "nonaff_nl"):
             self._build_phase_maps(ph)
 
-        def up(a):
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
-                                                      jnp.floating):
-                return jnp.asarray(a, dtype=jnp.float64)
-            return a
-
         vol_nonaff = any(
             wp.local_assembly.assembled_weakform.affine_form_ids()
             != {r.form_id
                 for r in wp.local_assembly.assembled_weakform.residues}
             for wp in self.workpieces)
-        up_tree = lambda t: jax.tree_util.tree_map(up, t)  # noqa: E731
-        # f64 table views for the per-iteration nonaffine assembly:
-        # boundary parts + fields always; volume only when needed
-        wp64 = [{"el": up_tree(ws["el"]) if vol_nonaff else ws["el"],
-                 "bdy": up_tree(ws["bdy"]),
-                 "fields": up_tree(ws["fields"])}
-                for ws in self.state["wp"]]
 
-        # one-time full-f64 state for the affine freeze
+        # One-time full-f64 state for the affine freeze.  Everything is
+        # (re)built from HOST sources on the CPU backend: XLA:TPU's
+        # emulated-f64 assembly materializes (8,128)-padded layout
+        # copies (measured 24 GB of temps at 1.28M DOF — OOM), and
+        # pulling the existing device tables back through a remote
+        # transport is GBs of transfer; host coords -> f64 geometry on
+        # CPU avoids both.  Only the A_td / b results ship to device.
+        from .scatter import maps_to_device
         L = self.pattern.max_time_level
-        st = dict(self._runtime_state())
-        st["wp"] = [{"el": up_tree(ws["el"]), "bdy": up_tree(ws["bdy"]),
-                     "fields": up_tree(ws["fields"])}
-                    for ws in self.state["wp"]]
-        st["x_star"] = jnp.zeros((L + 1, self.pattern.basicfield_size),
-                                 jnp.float64)
-        st["t"] = jnp.asarray(self.t, jnp.float64)
-        st["dt"] = jnp.asarray(self.dt, jnp.float64)
+        cpu = jax.devices("cpu")[0]
+
+        def fields64(wp, device):
+            with jax.default_device(device):
+                return {name: jnp.asarray(np.asarray(col),
+                                          dtype=jnp.float64)
+                        for name, col in wp.mesh.fields.items()}
+
+        st_wp = self._geometry_state(jnp.float64, device=cpu)
+        for i, wp in enumerate(self.workpieces):
+            st_wp[i]["fields"] = fields64(wp, cpu)
+        with jax.default_device(cpu):
+            cpu_maps = {ph: {
+                **({"r": maps_to_device(self._host_maps[ph].get("r"))}
+                   if self._host_maps[ph].get("r") else {}),
+                **({"k": maps_to_device(self._host_maps[ph]["k"][0]),
+                    **({"k_touched": jnp.asarray(
+                        self._host_maps[ph]["k"][1].astype(np.int32))}
+                       if self._host_maps[ph]["k"][1] is not None else {})}
+                   if self._host_maps[ph].get("k") else {})}
+                for ph in ("aff_lin", "aff_res")}
+            st = {"wp": st_wp, "maps": cpu_maps, "ghost_diag": None,
+                  "x_star": jnp.zeros(
+                      (L + 1, self.pattern.basicfield_size), jnp.float64),
+                  "t": jnp.asarray(self.t, jnp.float64),
+                  "dt": jnp.asarray(self.dt, jnp.float64),
+                  "global_vars": {k: float(v)
+                                  for k, v in self.global_vars.items()},
+                  "user": jax.device_put(
+                      jax.tree_util.tree_map(jnp.asarray, self.user_state),
+                      cpu)}
         run64 = jax.jit(self._run_phase, static_argnums=1)
         A_list = []
         for td in range(L + 1):
             one_hot = np.zeros(L + 1)
             one_hot[td] = 1.0
-            st["K_params"] = jnp.asarray(one_hot, jnp.float64)
-            A_list.append(run64(st, "aff_lin")[1])
-        b64 = run64(st, "aff_res")[0]
-        self._refined = {"A64": jnp.stack(A_list), "b64": b64, "wp": wp64}
+            st["K_params"] = jax.device_put(
+                jnp.asarray(one_hot, jnp.float64), cpu)
+            A_list.append(np.asarray(run64(st, "aff_lin")[1]))
+        b64 = np.asarray(run64(st, "aff_res")[0])
+        del st, st_wp
+
+        # f64 table views on the compute device for the per-iteration
+        # nonaffine remainder: boundary parts + fields always; volume
+        # element tables only when a volume form is nonaffine
+        dev = self.x.devices().pop() if hasattr(self.x, "devices") else None
+        wp64 = self._geometry_state(jnp.float64, device=dev,
+                                    volume=vol_nonaff)
+        for i, wp in enumerate(self.workpieces):
+            if not vol_nonaff:
+                wp64[i]["el"] = self.state["wp"][i]["el"]
+            wp64[i]["fields"] = fields64(wp, dev)
+
+        self._refined = {"A64": jnp.asarray(np.stack(A_list)),
+                         "b64": jnp.asarray(b64), "wp": wp64}
 
     def setup_mg(self, **mg_opts) -> None:
         """Build the geometric-multigrid state ONCE from the tangent at

@@ -47,10 +47,33 @@ class TestNeoHookean:
 
 
 class TestMooneyRivlin:
-    def test_tension_runs(self):
+    def test_uniaxial_vs_analytic(self):
+        """Quantitative oracle: the analytic tensile curve the reference
+        plots against (static_Mooney_Rivlin.jl:128-139), first setup
+        (C10=1e6, C01=1e6, lam=1e8)."""
         dom, wp, p = hyperelastic_3d.build(e_number=1,
                                            material="mooney_rivlin")
+        c10, c01, lam = 1e6, 1e6, 1e8
         P1s, d1s = hyperelastic_3d.run_loading(
-            dom, wp, 1e6, 1e7, total_steps=2, sigma_step=2e5)
-        assert np.isfinite(d1s).all()
-        assert 0 < d1s[0] < d1s[1]  # monotone stretch under growing load
+            dom, wp, 2 * (c10 + c01), lam, total_steps=3,
+            sigma_step=4e5, c10=c10, c01=c01)
+        ana = np.array([hyperelastic_3d.analytic_uniaxial_mr(
+            s, c10, c01, lam) for s in P1s])
+        err = np.abs(d1s - ana) / np.abs(ana)
+        # measured ~2.3% systematic: the clamped end (all three
+        # components penalty-fixed, as in the reference) blocks lateral
+        # contraction locally, stiffening vs the free-lateral analytic
+        # curve — more visible here than for Neo-Hookean because
+        # lam = 1e8 is near-incompressible
+        assert err.max() < 0.04, err
+
+    def test_c01_stiffens_response(self):
+        dom, wp, p = hyperelastic_3d.build(e_number=1,
+                                           material="mooney_rivlin")
+        _, d_a = hyperelastic_3d.run_loading(
+            dom, wp, 4e6, 1e8, total_steps=1, sigma_step=4e5,
+            c10=1e6, c01=1e6)
+        _, d_b = hyperelastic_3d.run_loading(
+            dom, wp, 12e6, 1e8, total_steps=1, sigma_step=4e5,
+            c10=1e6, c01=5e6)
+        assert 0 < d_b[-1] < d_a[-1]

@@ -7,8 +7,9 @@ import scipy.sparse as sp
 
 from metafem import linsolve
 from metafem.linsolve import SparseMatrix, iterative_solve, solver_lu
-from metafem.linsolve.krylov import (bicgstab, bicgstabl, cg, cgs, cgs2,
-                                     gmres, idrs, lsqr, tfqmr)
+from metafem.linsolve.krylov import (bicgstab, bicgstabl, bicgstabl_gs,
+                                     cg, cgs, cgs2, gmres, idrs, lsqr,
+                                     tfqmr)
 
 
 def _to_sparse(A: sp.spmatrix) -> SparseMatrix:
@@ -45,8 +46,10 @@ class TestSpMV:
                                    A.T @ x, rtol=1e-12)
 
 
-SOLVERS_SPD = [cg, bicgstab, bicgstabl, idrs, gmres, lsqr, cgs, cgs2, tfqmr]
-SOLVERS_NONSYM = [bicgstab, bicgstabl, idrs, gmres, lsqr, cgs, cgs2, tfqmr]
+SOLVERS_SPD = [cg, bicgstab, bicgstabl, bicgstabl_gs, idrs, gmres, lsqr,
+               cgs, cgs2, tfqmr]
+SOLVERS_NONSYM = [bicgstab, bicgstabl, bicgstabl_gs, idrs, gmres, lsqr,
+                  cgs, cgs2, tfqmr]
 
 
 class TestKrylov:
@@ -146,3 +149,55 @@ class TestNeumannPreconditioner:
                             sv_func=linsolve.krylov.bicgstab,
                             neumann_order=3, max_pass=10, maxiter=5000)
         np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+
+
+class TestF32Robustness:
+    """f32 robustness of the Givens-rotation GMRES and the Gram-Schmidt
+    BiCGStab(l) MR part (VERDICT: the normal-equations Hessenberg solve
+    squares the conditioning; at kappa ~ 1e5 in f32 it loses all digits,
+    Givens does not)."""
+
+    def _illcond(self, n=400, kappa=1e5):
+        rng = np.random.default_rng(3)
+        d = np.logspace(0, np.log10(kappa), n)
+        A = sp.diags(d).tolil()
+        for i in range(n - 1):           # mild nonsymmetric coupling
+            A[i, i + 1] += 0.05 * d[i]
+        A = A.tocsr().astype(np.float32)
+        x_true = rng.normal(size=n).astype(np.float32)
+        return A, x_true
+
+    def test_gmres_givens_illconditioned_f32(self):
+        A, x_true = self._illcond()
+        b = jnp.asarray((A @ x_true).astype(np.float32))
+        # right-Jacobi scaling as the production driver does
+        s_ = (1.0 / A.diagonal()).astype(np.float32)
+        Aj = _to_sparse((A @ sp.diags(s_)).astype(np.float32))
+        x, iters, res = gmres(Aj, b, tol=1e-5, maxiter=800, s=40)
+        x = jnp.asarray(s_) * x
+        assert x.dtype == jnp.float32
+        rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+        assert rel < 1e-3, rel
+
+        # the normal-equations LS on the same Hessenberg loses the digits:
+        # kappa(H^T H) ~ kappa^2 ~ 1e10 >> 1/eps_f32
+        H = np.triu(np.random.default_rng(0).normal(
+            size=(41, 40)), -1).astype(np.float32)
+        H[np.diag_indices(40)] = np.logspace(0, -5, 40)
+        e1 = np.zeros(41, np.float32)
+        e1[0] = 1.0
+        y_ne = np.linalg.solve((H.T @ H).astype(np.float32),
+                               (H.T @ e1).astype(np.float32))
+        y_ref = np.linalg.lstsq(H.astype(np.float64),
+                                e1.astype(np.float64), rcond=None)[0]
+        ne_err = np.linalg.norm(y_ne - y_ref) / np.linalg.norm(y_ref)
+        assert ne_err > 1e-2   # normal equations are genuinely broken here
+
+    def test_bicgstabl_gs_matches_lu_variant(self):
+        A = _nonsym(128)
+        x_true = np.cos(np.linspace(0, 4, 128))
+        b = jnp.asarray(A @ x_true)
+        x_gs, _, res_gs = bicgstabl_gs(_to_sparse(A), b, tol=1e-10,
+                                       maxiter=4000, s=4)
+        assert float(res_gs) < 1e-10
+        np.testing.assert_allclose(np.asarray(x_gs), x_true, atol=1e-7)

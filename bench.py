@@ -96,14 +96,20 @@ def main():
         t0 = _t("freeze_refined_residual", t0)
         step = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
                                      max_refine=10, max_pass=1)
-        x0 = dom.x.astype(jnp.float64)
+        # production stepping carries the solution as a two-float pair
+        # (twofloat.py) — no full-vector emulated-f64 casts in the loop
+        from metafem.linsolve import twofloat as tf
+        x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
         tdtype = jnp.float64
+        perturb = lambda xp, eps: tf.DF(xp.hi * np.float32(1.0 + eps),
+                                        xp.lo)
     except ValueError:
         dom.converge_tol = 5e-4            # f32 floor
         step = dom.make_jitted_step(sv_func=krylov.bicgstabl, s=4,
                                     maxiter=150, max_newton=3, max_pass=1)
         x0 = dom.x
         tdtype = jnp.float32
+        perturb = lambda x, eps: x * np.float32(1.0 + eps)
     state = dom._runtime_state()
 
     # Timing: DIRECT per-step wall time with a host scalar readback and a
@@ -111,7 +117,7 @@ def main():
     # under-report here: XLA hoists state-only work out of a fori_loop
     # chain, which a real time-stepping loop cannot.
     def timed(eps):
-        x1 = x0 * (1.0 + eps)
+        x1 = perturb(x0, eps)
         jax.block_until_ready(x1)
         t0 = time.perf_counter()
         x_new, dx, res, it = step(state, x1, tdtype(0.0), tdtype(1.0))

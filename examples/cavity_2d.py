@@ -77,9 +77,15 @@ def build(e_number=40, L_box=1.0, rho=1e3, mu=1.0, Cb=128):
     return dom, geo, wp, dict(dx=dx, rho=rho, mu=mu, L=L_box)
 
 
-def run_re(dom, wp, Re, params, solver="lu", tmax=None, verbose=False):
+def run_re(dom, wp, Re, params, solver="bicgstabl", tmax=None,
+           verbose=False):
     """Newton continuation ramping the lid velocity to u(Re), updating the
-    SUPG taus from the current velocity each step (2D_Script.jl:111-137)."""
+    SUPG taus from the current velocity each step (2D_Script.jl:111-137).
+
+    ``solver``: 'bicgstabl' (default — right-Jacobi-scaled BiCGStab(l)
+    on device, the same class of iterative solve the reference uses for
+    this system, 2D_Script.jl:102-105), 'cgs2' (the reference's exact
+    pick), or 'lu' (host splu fallback)."""
     dx, rho, mu, L = (params[k] for k in ("dx", "rho", "mu", "L"))
     nu = mu / rho
     dim = 2
@@ -87,6 +93,9 @@ def run_re(dom, wp, Re, params, solver="lu", tmax=None, verbose=False):
     mesh = dom.workpieces[wp].mesh
     if solver == "lu":
         dom.linear_solver = dom.make_direct_solver()
+    elif solver == "bicgstabl":
+        dom.linear_solver = dom.make_iterative_solver(
+            sv_func=krylov.bicgstabl, s=4, maxiter=3000, max_pass=10)
     else:
         dom.linear_solver = dom.make_iterative_solver(
             sv_func=krylov.cgs2, maxiter=5000, max_pass=20)

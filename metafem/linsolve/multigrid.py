@@ -68,6 +68,13 @@ class MGHierarchy:
     nu1: int = 2
     nu2: int = 2
     n_power: int = 10
+    #: couple the channels in the smoother: damped BLOCK-Jacobi with the
+    #: per-node C x C channel blocks inverted at setup.  Pointwise
+    #: (scalar) Jacobi ignores the inter-field coupling and diverges on
+    #: saddle-point-like systems (stabilized equal-order u-p: the
+    #: pressure diagonal is only the small PSPG term); the node-block
+    #: smoother is the standard remedy (Vanka-lite).
+    block_smooth: bool = False
 
     @property
     def n_levels(self) -> int:
@@ -105,7 +112,8 @@ def decompose_offsets(flat_offsets: np.ndarray,
 def build_hierarchy(lattice_shape: Tuple[int, ...], channels: int,
                     fine_radius: int, max_coarse: int = 2048,
                     max_levels: int = 16, nu1: int = 2, nu2: int = 2,
-                    n_power: int = 10) -> MGHierarchy:
+                    n_power: int = 10,
+                    block_smooth: bool = False) -> MGHierarchy:
     """Coarsen by 2 per axis until the dense-solve level is small."""
     r_c = max(2, (fine_radius + 2) // 2)
     shapes = [tuple(lattice_shape)]
@@ -123,7 +131,8 @@ def build_hierarchy(lattice_shape: Tuple[int, ...], channels: int,
                                       repeat=len(lattice_shape)))
     return MGHierarchy(dim=len(lattice_shape), channels=channels,
                       shapes=tuple(shapes), radius=r_c, offsets=offsets,
-                      nu1=nu1, nu2=nu2, n_power=n_power)
+                      nu1=nu1, nu2=nu2, n_power=n_power,
+                      block_smooth=block_smooth)
 
 
 def mask_for_domain(domain):
@@ -379,12 +388,12 @@ def _probe_level(hier: MGHierarchy, state, level: int,
 def _calibrate(hier, state, level, dtype):
     """Power-iteration estimate of rho(D^-1 A); damped-Jacobi omega."""
     shape = (hier.channels,) + hier.shapes[level]
-    inv_d = state[level]["inv_diag"]
     v = jax.random.normal(jax.random.PRNGKey(3 + level), shape, dtype)
     v = v / jnp.linalg.norm(v)
 
     def body(v, _):
-        w = inv_d * _apply_level(hier, state, level, v)
+        w = _diag_solve(state[level],
+                        _apply_level(hier, state, level, v))
         lam = jnp.linalg.norm(w)
         return w / jnp.where(lam == 0, 1.0, lam), lam
 
@@ -395,6 +404,51 @@ def _calibrate(hier, state, level, dtype):
 
 def _safe_inv(d):
     return jnp.where(d == 0, 0.0, 1.0 / jnp.where(d == 0, 1.0, d))
+
+
+def _fine_diag_blocks(A: OffsetMatrix, C: int,
+                      shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Same-node channel-coupling blocks [C, C, *S] of the fine operator,
+    read directly from the d=0 dense segments (one per variable-pair
+    unit — the layout always stores the in-block diagonal densely,
+    block_offset.build_offset_layout; absent pairs are zero)."""
+    lo = A.layout
+    grp = lo.pallas_groups[0]
+    n_cp = grp.n_cp
+    blocks = [[None] * C for _ in range(C)]
+    for (row0, col0, ncp_s, d, b) in lo.segments:
+        if d != 0:
+            continue
+        pd = (row0 - grp.dof_offset) // n_cp
+        pb = (col0 - grp.dof_offset) // n_cp
+        blocks[pd][pb] = A.vals[b:b + n_cp]
+    z = jnp.zeros(n_cp, A.vals.dtype)
+    M = jnp.stack([jnp.stack([blocks[i][j] if blocks[i][j] is not None
+                              else z for j in range(C)])
+                   for i in range(C)])
+    return M.reshape((C, C) + shape)
+
+
+def _inv_blocks(M: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Per-node inverse of [C, C, *S] blocks (all-zero diagonal entries
+    — ghost slots without a unit regularizer — are set to 1 first)."""
+    S = M.shape[2:]
+    P = int(np.prod(S))
+    Mp = jnp.moveaxis(M.reshape(C, C, P), -1, 0)        # [P, C, C]
+    dg = jnp.diagonal(Mp, axis1=1, axis2=2)             # [P, C]
+    fix = jnp.where(dg == 0, 1.0, 0.0).astype(M.dtype)
+    Mp = Mp + fix[:, :, None] * jnp.eye(C, dtype=M.dtype)[None]
+    inv = jnp.linalg.inv(Mp)
+    return jnp.moveaxis(inv, 0, -1).reshape((C, C) + S)
+
+
+def _diag_solve(state_level: dict, v: jnp.ndarray) -> jnp.ndarray:
+    """Apply the smoother's (approximate) D^-1: channel-block inverse
+    when built, pointwise inverse diagonal otherwise."""
+    blk = state_level.get("inv_diag_blk")
+    if blk is not None:
+        return jnp.einsum("ij...,j...->i...", blk, v)
+    return state_level["inv_diag"] * v
 
 
 def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
@@ -416,13 +470,19 @@ def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
         state[0]["mask"] = mask.reshape((1,) + hier.shapes[0]).astype(dtype)
     d0 = A.diag().reshape((C,) + hier.shapes[0])
     state[0]["inv_diag"] = _safe_inv(d0)
+    if hier.block_smooth and C > 1:
+        state[0]["inv_diag_blk"] = _inv_blocks(
+            _fine_diag_blocks(A, C, hier.shapes[0]), C)
     state[0]["omega"] = _calibrate(hier, state, 0, dtype)
 
+    i0 = list(hier.offsets).index((0,) * hier.dim)
     for level in range(1, hier.n_levels):
         coefs = _probe_level(hier, state, level - 1, dtype)
         entry = {"coefs": coefs,
                  "inv_diag": _safe_inv(
                      _stencil_diag(coefs, list(hier.offsets), C))}
+        if hier.block_smooth and C > 1:
+            entry["inv_diag_blk"] = _inv_blocks(coefs[i0], C)
         state.append(entry)
         if level < hier.n_levels - 1:
             entry["omega"] = _calibrate(hier, state, level, dtype)
@@ -446,10 +506,10 @@ def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
 # ---------------------------------------------------------------------------
 
 def _smooth(hier, state, level, x, b, n):
-    inv_d = state[level]["inv_diag"]
     om = state[level]["omega"]
     for _ in range(n):
-        x = x + om * inv_d * (b - _apply_level(hier, state, level, x))
+        x = x + om * _diag_solve(
+            state[level], b - _apply_level(hier, state, level, x))
     return x
 
 
@@ -457,9 +517,8 @@ def _vcycle_level(hier, state, level, b):
     if level == hier.n_levels - 1:
         x = state[level]["inv"] @ b.reshape(-1)
         return x.reshape(b.shape)
-    inv_d = state[level]["inv_diag"]
     om = state[level]["omega"]
-    x = om * inv_d * b
+    x = om * _diag_solve(state[level], b)
     x = _smooth(hier, state, level, x, b, hier.nu1 - 1)
     r = b - _apply_level(hier, state, level, x)
     xc = _vcycle_level(hier, state, level + 1,

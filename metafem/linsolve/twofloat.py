@@ -1,0 +1,174 @@
+"""Double-f32 ("two-float") vector arithmetic: ~2^-48 relative precision
+at native f32 VPU rate.
+
+XLA:TPU emulates f64 in software at a devastating cost for the
+bandwidth-bound vector ops the refined Newton path needs — measured at
+1.28M DOF on v5e: offset-SpMV 100 ms in f64 vs 0.12 ms in f32, a plain
+norm 27 ms.  Classic error-free-transformation arithmetic (Dekker 1971;
+Ogita-Rump-Oishi dot2 — already used for the Krylov dots,
+krylov._dot) represents each value as an (hi, lo) pair of f32 words
+carrying ~48 significant bits, with every operation a handful of native
+f32 VPU instructions.  That is 2x the data and ~10-20x the flops of
+plain f32 — but these ops are HBM-bound, so the observed cost is ~2-4x
+f32, i.e. 30-100x faster than emulated f64.
+
+Used by solver/jit_step.make_refined_step for the exact-residual path:
+the frozen affine operator A_td, the constant b, and the solution x all
+live as DF pairs; residual evaluation is df_offset_mv + df adds; only
+the tiny compact boundary assembly stays in emulated f64.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block_offset import OffsetLayout
+
+
+class DF(NamedTuple):
+    """A two-float vector: value = hi + lo, |lo| <= ulp(hi)/2."""
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def two_sum(a, b):
+    """Error-free a + b = s + e (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free a + b = s + e, REQUIRES |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod(a, b):
+    """Error-free a * b = p + e via Dekker splitting (2^12+1 splits the
+    24-bit f32 mantissa; same transform as krylov._two_prod)."""
+    p = a * b
+    ca = a * 4097.0
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * 4097.0
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def df_normalize(hi, lo) -> DF:
+    s, e = fast_two_sum(hi, lo)
+    return DF(s, e)
+
+
+def df_from_f64(a) -> DF:
+    """Split a (host) f64 array into an f32 pair — exact to ~2^-48."""
+    a = np.asarray(a, dtype=np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def df_to_f64(x: DF) -> jnp.ndarray:
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def df_zeros_like(v) -> DF:
+    return DF(jnp.zeros_like(v), jnp.zeros_like(v))
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, y.hi)
+    return df_normalize(s, e + (x.lo + y.lo))
+
+
+def df_add_f32(x: DF, v) -> DF:
+    s, e = two_sum(x.hi, v)
+    return df_normalize(s, e + x.lo)
+
+
+def df_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def df_scale(x: DF, c) -> DF:
+    """x * c with c a plain f32 scalar or array."""
+    p, e = two_prod(x.hi, c)
+    return df_normalize(p, e + x.lo * c)
+
+
+def df_scale_df(x: DF, c: DF) -> DF:
+    p, e = two_prod(x.hi, c.hi)
+    return df_normalize(p, e + (x.hi * c.lo + x.lo * c.hi))
+
+
+def _shifted_stack(xw, offsets, n_cp):
+    R = int(max(abs(d) for d in offsets)) if offsets else 0
+    xp = jnp.pad(xw, ((0, 0), (R, R)))
+    return jnp.stack([xp[:, R + d:R + d + n_cp] for d in offsets])
+
+
+def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
+                 coo_rows=None, coo_cols=None) -> DF:
+    """y = A @ x with both the matrix values and the vector as DF pairs
+    — the refined residual's workhorse.  Mirrors
+    OffsetMatrix._grouped_dense_mv (block_offset.py): one shifted-x
+    stack per workpiece, per-unit compensated accumulation over offsets.
+    The rounding terms keep |error| ~ 2^-48 |A||x| per entry."""
+    lo_ = layout
+    y_hi = jnp.zeros(lo_.n, x.hi.dtype)
+    y_lo = jnp.zeros(lo_.n, x.hi.dtype)
+    for grp in lo_.pallas_groups:
+        C, n_cp, n_off = grp.n_vars, grp.n_cp, grp.n_off
+        G = len(grp.units)
+        xw_hi = jax.lax.dynamic_slice(
+            x.hi, (grp.dof_offset,), (C * n_cp,)).reshape(C, n_cp)
+        xw_lo = jax.lax.dynamic_slice(
+            x.lo, (grp.dof_offset,), (C * n_cp,)).reshape(C, n_cp)
+        sh_hi = _shifted_stack(xw_hi, grp.offsets, n_cp)   # [n_off,C,n_cp]
+        sh_lo = _shifted_stack(xw_lo, grp.offsets, n_cp)
+        v_hi = jax.lax.dynamic_slice(
+            vals.hi, (grp.base,), (G * n_off * n_cp,)).reshape(G, n_off,
+                                                               n_cp)
+        v_lo = jax.lax.dynamic_slice(
+            vals.lo, (grp.base,), (G * n_off * n_cp,)).reshape(G, n_off,
+                                                               n_cp)
+        acc = [None] * C
+        for g, (pd, pb) in enumerate(grp.units):
+            a = DF(jnp.zeros(n_cp, x.hi.dtype), jnp.zeros(n_cp, x.hi.dtype))
+            for k in range(n_off):
+                p, e = two_prod(v_hi[g, k], sh_hi[k, pb])
+                e = e + (v_hi[g, k] * sh_lo[k, pb]
+                         + v_lo[g, k] * sh_hi[k, pb])
+                a = df_add(a, DF(p, e))
+            acc[pd] = a if acc[pd] is None else df_add(acc[pd], a)
+        z = jnp.zeros(n_cp, x.hi.dtype)
+        yb_hi = jnp.concatenate([a.hi if a is not None else z for a in acc])
+        yb_lo = jnp.concatenate([a.lo if a is not None else z for a in acc])
+        y_hi = jax.lax.dynamic_update_slice(y_hi, yb_hi, (grp.dof_offset,))
+        y_lo = jax.lax.dynamic_update_slice(y_lo, yb_lo, (grp.dof_offset,))
+    y = DF(y_hi, y_lo)
+    if lo_.n_coo:
+        # the (small) COO tail in emulated f64 — exact and cheap at tail
+        # sizes; lattice meshes have an empty tail
+        rows = coo_rows if coo_rows is not None else jnp.asarray(
+            lo_.coo_rows)
+        cols = coo_cols if coo_cols is not None else jnp.asarray(
+            lo_.coo_cols)
+        cv = (vals.hi[lo_.n_dense:].astype(jnp.float64)
+              + vals.lo[lo_.n_dense:].astype(jnp.float64))
+        xv = (x.hi[cols].astype(jnp.float64)
+              + x.lo[cols].astype(jnp.float64))
+        t64 = jax.ops.segment_sum(cv * xv, rows, num_segments=lo_.n)
+        t_hi = t64.astype(x.hi.dtype)
+        t_lo = (t64 - t_hi.astype(jnp.float64)).astype(x.hi.dtype)
+        y = df_add(y, DF(t_hi, t_lo))
+    return y

@@ -181,6 +181,10 @@ def _phase_parts(wf: AssembleWeakform, phase: str):
     if phase == "nonaff_nl":
         return ([r for r in wf.residues if r.form_id not in aff],
                 wf.nonlinear_gradients)
+    if phase == "nonaff_res":
+        return [r for r in wf.residues if r.form_id not in aff], []
+    if phase == "nl_grad":
+        return [], wf.nonlinear_gradients
     raise ValueError(f"unknown assembly phase {phase!r}")
 
 
@@ -372,11 +376,32 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
 
             r_extents = pattern.dof_block_extents
             k_extents = pattern.k_segment_extents
+            if state.get("r_compact") and "r_touched" in device_maps:
+                # compact-return mode (refined residual path): every
+                # residual stream reduces over the touched rows only;
+                # the caller owns the expansion.  Only valid for phases
+                # with no fast-path (volume) residual streams.
+                assert not fast_r, "r_compact with fast residual streams"
+                touched = device_maps["r_touched"]
+                compact = apply_device_maps(
+                    device_maps.get("r"),
+                    jnp.concatenate([v.reshape(-1) for v in r_vals])
+                    if r_vals else jnp.zeros(0, dtype),
+                    touched.shape[0])
+                K = jnp.zeros(pattern.n_storage, dtype)  # unused in mode
+                return compact, K
             residue, rest_r = reduce_streams(r_vals, fast_r, r_extents,
                                              bfs)
             if rest_r:
-                residue = residue + apply_device_maps(
-                    device_maps.get("r"), jnp.concatenate(rest_r), bfs)
+                if "r_touched" in device_maps:
+                    touched = device_maps["r_touched"]
+                    compact = apply_device_maps(
+                        device_maps.get("r"), jnp.concatenate(rest_r),
+                        touched.shape[0])
+                    residue = residue.at[touched].add(compact)
+                else:
+                    residue = residue + apply_device_maps(
+                        device_maps.get("r"), jnp.concatenate(rest_r), bfs)
 
             K, rest_k = reduce_streams(k_vals, fast_k, k_extents,
                                        pattern.n_storage)

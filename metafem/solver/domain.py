@@ -57,6 +57,24 @@ from .time_domain import (GeneralAlpha, initialize_dx, normalized_norm,
 _COORD_NAMES = ("x", "y", "z")
 
 
+def _maps_entry(host: dict) -> dict:
+    """Device maps entry from the host (GatherReduce, touched) pairs kept
+    by _build_phase_maps — touched != None marks a compact reduction."""
+    from .scatter import maps_to_device
+    entry = {}
+    if host.get("r"):
+        gr, touched = host["r"]
+        entry["r"] = maps_to_device(gr)
+        if touched is not None:
+            entry["r_touched"] = jnp.asarray(touched.astype(np.int32))
+    if host.get("k"):
+        gr, touched = host["k"]
+        entry["k"] = maps_to_device(gr)
+        if touched is not None:
+            entry["k_touched"] = jnp.asarray(touched.astype(np.int32))
+    return entry
+
+
 @dataclasses.dataclass
 class WorkPiece:
     geo: GeoMesh
@@ -336,24 +354,17 @@ class FEM_Domain:
                 rest[kind].append(s["slots"].reshape(-1))
         self._fast_maps[phase_key] = fast
 
-        entry = {}
         host = {}
         if rest["r"]:
-            host["r"] = build_gather_reduce(
+            host["r"] = build_compact_gather_reduce(
                 np.concatenate(rest["r"]), self.pattern.basicfield_size)
-            entry["r"] = maps_to_device(host["r"])
         if rest["k"]:
-            gr, touched = build_compact_gather_reduce(
+            host["k"] = build_compact_gather_reduce(
                 np.concatenate(rest["k"]), self.pattern.n_storage)
-            host["k"] = (gr, touched)
-            entry["k"] = maps_to_device(gr)
-            if touched is not None:
-                entry["k_touched"] = jnp.asarray(
-                    touched.astype(np.int32))
         if not hasattr(self, "_host_maps"):
             self._host_maps = {}
         self._host_maps[phase_key] = host
-        self._device_maps[phase_key] = entry
+        self._device_maps[phase_key] = _maps_entry(host)
 
     def _ghost_diag_vector(self):
         """Unit-diagonal regularizer for ghost (unoccupied lattice) DOF
@@ -494,7 +505,8 @@ class FEM_Domain:
         volume tables are kept in f64 and the per-iteration remainder
         assembly runs over the whole volume (correct, but the fast-path
         benefit is then limited to the affine terms)."""
-        for ph in ("aff_lin", "aff_res", "nonaff_nl"):
+        for ph in ("aff_lin", "aff_res", "nonaff_nl", "nonaff_res",
+                   "nl_grad"):
             self._build_phase_maps(ph)
 
         vol_nonaff = any(
@@ -510,7 +522,6 @@ class FEM_Domain:
         # pulling the existing device tables back through a remote
         # transport is GBs of transfer; host coords -> f64 geometry on
         # CPU avoids both.  Only the A_td / b results ship to device.
-        from .scatter import maps_to_device
         L = self.pattern.max_time_level
         cpu = jax.devices("cpu")[0]
 
@@ -520,19 +531,18 @@ class FEM_Domain:
                                           dtype=jnp.float64)
                         for name, col in wp.mesh.fields.items()}
 
+        # NOTE: the jitted phase runs must happen INSIDE the
+        # default_device(cpu) scope — arrays built on the CPU device are
+        # uncommitted, and a jit call outside the scope silently moves
+        # them to the process default device (the TPU), shipping the f64
+        # tables through the remote transport (measured: minutes).
         st_wp = self._geometry_state(jnp.float64, device=cpu)
         for i, wp in enumerate(self.workpieces):
             st_wp[i]["fields"] = fields64(wp, cpu)
+        run64 = jax.jit(self._run_phase, static_argnums=1)
         with jax.default_device(cpu):
-            cpu_maps = {ph: {
-                **({"r": maps_to_device(self._host_maps[ph].get("r"))}
-                   if self._host_maps[ph].get("r") else {}),
-                **({"k": maps_to_device(self._host_maps[ph]["k"][0]),
-                    **({"k_touched": jnp.asarray(
-                        self._host_maps[ph]["k"][1].astype(np.int32))}
-                       if self._host_maps[ph]["k"][1] is not None else {})}
-                   if self._host_maps[ph].get("k") else {})}
-                for ph in ("aff_lin", "aff_res")}
+            cpu_maps = {ph: _maps_entry(self._host_maps[ph])
+                        for ph in ("aff_lin", "aff_res")}
             st = {"wp": st_wp, "maps": cpu_maps, "ghost_diag": None,
                   "x_star": jnp.zeros(
                       (L + 1, self.pattern.basicfield_size), jnp.float64),
@@ -543,15 +553,13 @@ class FEM_Domain:
                   "user": jax.device_put(
                       jax.tree_util.tree_map(jnp.asarray, self.user_state),
                       cpu)}
-        run64 = jax.jit(self._run_phase, static_argnums=1)
-        A_list = []
-        for td in range(L + 1):
-            one_hot = np.zeros(L + 1)
-            one_hot[td] = 1.0
-            st["K_params"] = jax.device_put(
-                jnp.asarray(one_hot, jnp.float64), cpu)
-            A_list.append(np.asarray(run64(st, "aff_lin")[1]))
-        b64 = np.asarray(run64(st, "aff_res")[0])
+            A_list = []
+            for td in range(L + 1):
+                one_hot = np.zeros(L + 1)
+                one_hot[td] = 1.0
+                st["K_params"] = jnp.asarray(one_hot, jnp.float64)
+                A_list.append(np.asarray(run64(st, "aff_lin")[1]))
+            b64 = np.asarray(run64(st, "aff_res")[0])
         del st, st_wp
 
         # f64 table views on the compute device for the per-iteration
@@ -565,8 +573,37 @@ class FEM_Domain:
                 wp64[i]["el"] = self.state["wp"][i]["el"]
             wp64[i]["fields"] = fields64(wp, dev)
 
-        self._refined = {"A64": jnp.asarray(np.stack(A_list)),
-                         "b64": jnp.asarray(b64), "wp": wp64}
+        # DOF slots the nonaffine streams can gather x from (union of
+        # the boundary elements' control points over all variables and
+        # time levels) — the df32 step materializes the f64 x* only at
+        # these slots instead of casting the full vector (emulated-f64
+        # casts measured ~tens of ms at 1M DOF)
+        if vol_nonaff:
+            bnd_dofs = None                   # needs the full vector
+        else:
+            dofs = []
+            for wp, info in zip(self.workpieces, self.pattern.wp_infos):
+                cps = [els for parts in wp.bdy_parts.values()
+                       for (_, els) in parts]
+                if not cps:
+                    continue
+                cp_set = np.unique(
+                    wp.mesh.el_cp[np.concatenate(cps)].reshape(-1))
+                for pos in range(info.n_vars):
+                    dofs.append(info.dof_offset + pos * info.n_cp
+                                + cp_set)
+            bnd_dofs = jnp.asarray(
+                np.unique(np.concatenate(dofs)).astype(np.int32)
+                if dofs else np.zeros(0, np.int32))
+
+        # the frozen operator as two-float pairs (twofloat.py): exact
+        # splits of the f64 assembly, consumed at native f32 VPU rate
+        from ..linsolve.twofloat import df_from_f64
+        A_df = df_from_f64(np.stack(A_list))
+        b_df = df_from_f64(b64)
+        self._refined = {"A_hi": A_df.hi, "A_lo": A_df.lo,
+                         "b_hi": b_df.hi, "b_lo": b_df.lo,
+                         "bnd_dofs": bnd_dofs, "wp": wp64}
 
     def setup_mg(self, **mg_opts) -> None:
         """Build the geometric-multigrid state ONCE from the tangent at

@@ -90,7 +90,13 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
         st["t"], st["dt"], st["K_params"] = t, dt, K_params
         st["x_star"] = x
         if static_k_linear:
-            K_lin = jnp.einsum("t,ts->s", K_params, st["K_linear_td"])
+            # explicit scalar*vector adds: einsum("t,ts->s") over the
+            # [L+1, n_storage] stack measured 28 ms at 27M values on TPU
+            # (layout-hostile dot_general); this form runs at bandwidth
+            K_td = st["K_linear_td"]
+            K_lin = K_params[0] * K_td[0]
+            for td in range(1, levels):
+                K_lin = K_lin + K_params[td] * K_td[td]
             if st.get("ghost_diag") is not None:
                 K_lin = K_lin + st["ghost_diag"]
         else:
@@ -174,37 +180,53 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                       maxiter: int = 60, max_refine: int = 10,
                       max_pass: int = 1, precond: str = "mg",
                       forcing: float = 1e-2, stall_ratio: float = 0.9,
-                      **sv_kwargs):
+                      residual_mode: str = None, **sv_kwargs):
     """Newton / mixed-precision-iterative-refinement step with **exact
-    f64 residuals** and working-precision (f32) tangent solves.
+    residuals** and working-precision (f32) tangent solves.
 
-    Build ``step(state, x64, t, dt) -> (x64_new, dx64, res, n_iter)``
-    where ``x64`` persists in f64 across steps (an f32-stored solution
-    can only ever realize a ~1e-7|K||x| residual, the f32 floor).  Every
+    Build ``step(state, x, t, dt) -> (x_new, dx, res, n_iter)``.  Every
     iteration:
 
     1. residual via the frozen affine decomposition
-       (``domain.freeze_refined_residual``): f64 offset-SpMVs against
-       A_td + b + the small nonaffine remainder assembly in f64 — no
+       (``domain.freeze_refined_residual``): offset-SpMVs against the
+       exact A_td/b plus the small nonaffine boundary remainder — no
        volume assembly at all for affine-volume physics;
     2. fresh tangent = frozen linear part (``freeze_linear_tangent``)
        + the per-iteration nonaffine gradient blocks — a true Newton
        tangent, so convergence is quadratic, not stationary-iteration;
     3. f32 MG-Krylov solve (frozen MG from ``setup_mg``) with
-       inexact-Newton forcing; correction applied in f64.
+       inexact-Newton forcing.
 
-    Compared with the plain f32 ``make_jitted_step`` this reaches the
-    reference's 1e-6 normalized-residual tolerances (pikachu.jl:106) —
-    and far below — at near-f32 cost: the only f64 device work is a few
-    bandwidth-bound SpMVs/norms per iteration plus the (typically
-    boundary-only) remainder assembly.
+    ``residual_mode``: how the high-precision residual arithmetic runs.
 
-    Requires: ``freeze_linear_tangent()``, ``freeze_refined_residual()``
-    and (for precond='mg') ``setup_mg()`` to have been called."""
+    * ``"df32"`` (default on TPU): two-float f32 pairs (twofloat.py) —
+      ~2^-48 relative accuracy at native VPU rate.  ``x`` is carried as
+      a ``twofloat.DF`` pair across steps (a plain f64 array is also
+      accepted and split on entry; the return matches the input kind).
+      The nonaffine boundary residues still evaluate in f64, on
+      boundary-sized arrays only (cheap even emulated).
+    * ``"f64"`` (default on CPU): plain f64 vectors — native on the
+      host, software-emulated and ~30-800x slower on TPU (measured:
+      100 ms per f64 offset-SpMV at 1.28M DOF vs ~1 ms df32).
+
+    Either mode reaches the reference's 1e-6 normalized-residual bar
+    (pikachu.jl:106) and far below — an f32-stored solution alone can
+    only ever realize a ~1e-7|K||x| residual, which is why x persists in
+    extended precision between steps.
+
+    Requires ``freeze_linear_tangent()``, ``freeze_refined_residual()``
+    and (for precond='mg') ``setup_mg()``."""
+    import jax as _jax
+    from ..linsolve import twofloat as tf
     if getattr(domain, "_refined", None) is None:
         raise RuntimeError("call domain.freeze_refined_residual() first")
     if getattr(domain, "_k_linear_td", None) is None:
         raise RuntimeError("call domain.freeze_linear_tangent() first")
+    if residual_mode is None:
+        residual_mode = ("f64" if _jax.default_backend() == "cpu"
+                         else "df32")
+    if residual_mode not in ("f64", "df32"):
+        raise ValueError(f"unknown residual_mode {residual_mode!r}")
     pattern = domain.pattern
     ga = domain.time_discretization
     gamma = tuple(ga.gamma_params)
@@ -213,8 +235,9 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     L = pattern.max_time_level
     layout = pattern.offset_layout
     run_phase = domain._run_phase
-    sqrt_n = np.sqrt(pattern.basicfield_size)
+    sqrt_n = float(np.sqrt(pattern.basicfield_size))
     sdtype = domain.dtype                       # solve (tangent) precision
+    bfs = pattern.basicfield_size
 
     mg_hier = None
     if precond == "mg":
@@ -225,81 +248,222 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
 
+    def combine_klin(state, K_params_s):
+        # explicit per-level scalar*vector adds: an einsum("t,ts->s")
+        # over the [L+1, n_storage] stack measured 28 ms at 27M storage
+        # values (layout-hostile dot_general); this form is ~bandwidth
+        K_td = state["K_linear_td"]
+        K = K_params_s[0] * K_td[0]
+        for td in range(1, L + 1):
+            K = K + K_params_s[td] * K_td[td]
+        if state.get("ghost_diag") is not None:
+            K = K + state["ghost_diag"]
+        return K
+
+    def solve_f32(state, A, rr, tol_i):
+        delta = jnp.zeros_like(rr)
+        if mg_hier is not None:
+            from ..linsolve import multigrid
+            op = multigrid.MGOperator(A, state["mg_frozen"], mg_hier)
+            for _ in range(max_pass):
+                y_i, _, _ = sv_func(op, rr, tol=tol_i, maxiter=maxiter,
+                                    **sv_kwargs)
+                delta = delta + op.apply_m(y_i)
+                rr = rr - A.mv(delta)
+        else:
+            As, unscale = pr_jacobi(A, None)
+            r0 = rr
+            for _ in range(max_pass):
+                d_i, _, _ = sv_func(As, rr, tol=tol_i, maxiter=maxiter,
+                                    **sv_kwargs)
+                delta = delta + d_i
+                rr = r0 - As.mv(delta)
+            delta = unscale(delta)
+        return delta
+
+    def inner_tol(res_n, dtype):
+        return jnp.maximum(jnp.asarray(tol, dtype),
+                           jnp.asarray(forcing, dtype) * res_n)
+
+    if residual_mode == "f64":
+        @jax.jit
+        def step(state, x, t, dt):
+            f64 = jnp.float64
+            if isinstance(x, tf.DF):
+                x = tf.df_to_f64(x)
+            x = x.astype(f64)
+            levels = L + 1
+            prod_gamma = jnp.asarray(
+                [np.prod(gamma[:i]) for i in range(levels)], f64)
+            dt64 = dt.astype(f64)
+            dt_pow = jnp.stack([dt64 ** i for i in range(levels)])
+            beta = 1.0 / (prod_gamma * dt_pow)
+            K_params64 = jnp.asarray(alpha[:levels], f64) * beta
+
+            ref = state["refined"]
+            A64 = (ref["A_hi"].astype(f64)
+                   + ref["A_lo"].astype(f64))     # [levels, n_storage]
+            b64 = ref["b_hi"].astype(f64) + ref["b_lo"].astype(f64)
+            K_lin = combine_klin(state, K_params64.astype(sdtype))
+
+            def residual_and_knl(dx):
+                xs = x_star_of(x, dx, alpha)                    # f64
+                r = b64
+                for td in range(levels):
+                    Atd = OffsetMatrix.from_values(A64[td], layout)
+                    r = r + Atd.mv(xs[td])
+                st64 = {**state, "wp": ref["wp"], "x_star": xs,
+                        "K_params": K_params64,
+                        "t": t.astype(f64), "dt": dt64}
+                r_nl, K_nl = run_phase(st64, "nonaff_nl")
+                return r + r_nl, K_nl
+
+            dx0 = initialize_dx(x, dt64, gamma)
+            r0, K0 = residual_and_knl(dx0)
+            res0 = jnp.linalg.norm(r0) / sqrt_n
+
+            def cond(carry):
+                dx, r64, K_nl, res, res_prev, it = carry
+                return ((res > tol) & (it < max_refine)
+                        & (res < stall_ratio * res_prev))
+
+            def body(carry):
+                dx, r64, K_nl, res_in, _, it = carry
+                A = OffsetMatrix.from_values(
+                    K_lin + K_nl.astype(sdtype), layout)
+                rr = r64.astype(sdtype)
+                delta = solve_f32(state, A, rr,
+                                  inner_tol(res_in.astype(sdtype),
+                                            sdtype))
+                dx = dx + beta[:, None] * (-delta.astype(f64))[None, :]
+                r64b, K_nlb = residual_and_knl(dx)
+                res2 = jnp.linalg.norm(r64b) / sqrt_n
+                return dx, r64b, K_nlb, res2, res_in, it + 1
+
+            big = jnp.asarray(np.finfo(np.float32).max, f64)
+            dx, _, _, res, _, it = jax.lax.while_loop(
+                cond, body, (dx0, r0, K0, res0, big, 0))
+            return x + dx, dx, res, it
+
+        return step
+
+    # ---------------- df32 mode (the TPU production path) --------------
+    if domain.dtype != jnp.float32:
+        raise ValueError("residual_mode='df32' expects an f32 domain")
+    ref_host = domain._refined
+    if ref_host["bnd_dofs"] is None:
+        raise NotImplementedError(
+            "df32 refined step with volume nonaffine forms: the full f64 "
+            "x* cast is the emulated-f64 cost this mode avoids — use "
+            "residual_mode='f64' (or keep the f32 path) for now")
+
     @jax.jit
     def step(state, x, t, dt):
-        f64 = jnp.float64
-        x = x.astype(f64)
+        f32, f64 = jnp.float32, jnp.float64
+        if isinstance(x, tf.DF):
+            xdf = x
+            as_df = True
+        else:
+            hi = x.astype(f32)
+            xdf = tf.DF(hi, (x - hi.astype(f64)).astype(f32))
+            as_df = False
         levels = L + 1
-        prod_gamma = jnp.asarray(
-            [np.prod(gamma[:i]) for i in range(levels)], f64)
+        prod_gamma = np.asarray(
+            [np.prod(gamma[:i]) for i in range(levels)])
         dt64 = dt.astype(f64)
         dt_pow = jnp.stack([dt64 ** i for i in range(levels)])
-        beta = 1.0 / (prod_gamma * dt_pow)
-        K_params64 = jnp.asarray(alpha[:levels], f64) * beta
+        beta64 = 1.0 / (jnp.asarray(prod_gamma, f64) * dt_pow)
+        K_params64 = jnp.asarray(alpha[:levels], f64) * beta64
+        beta32 = beta64.astype(f32)
 
         ref = state["refined"]
-        A64, b64 = ref["A64"], ref["b64"]       # [levels, nnz], [bfs]
-        K_lin = jnp.einsum("t,ts->s", K_params64.astype(sdtype),
-                           state["K_linear_td"])
-        if state.get("ghost_diag") is not None:
-            K_lin = K_lin + state["ghost_diag"]
-        mg_state = state["mg_frozen"] if mg_hier is not None else None
+        A_df = tf.DF(ref["A_hi"], ref["A_lo"])
+        b_df = tf.DF(ref["b_hi"], ref["b_lo"])
+        bnd = ref["bnd_dofs"]
+        K_lin = combine_klin(state, K_params64.astype(f32))
+        alpha32 = jnp.asarray(alpha[:levels], f32)[:, None]
 
-        def residual_and_knl(dx):
-            xs = x_star_of(x, dx, alpha)                        # f64
-            r = b64
+        # generalized-alpha predictor in df arithmetic
+        def df_initialize_dx(xp, dtp):
+            dx_hi = jnp.zeros_like(xp.hi)
+            dx_lo = jnp.zeros_like(xp.lo)
+            for level in range(levels - 1, 0, -1):
+                g = float(gamma[level - 1])
+                row = tf.df_add(tf.DF(xp.hi[level], xp.lo[level]),
+                                tf.df_scale(tf.DF(dx_hi[level],
+                                                  dx_lo[level]), g))
+                row = tf.df_scale_df(row, dtp)
+                dx_hi = dx_hi.at[level - 1].set(row.hi)
+                dx_lo = dx_lo.at[level - 1].set(row.lo)
+            return tf.DF(dx_hi, dx_lo)
+
+        dt_hi = dt64.astype(f32)
+        dtp = tf.DF(dt_hi, (dt64 - dt_hi.astype(f64)).astype(f32))
+
+        def residual_and_knl(dxdf):
+            xs = tf.df_add(xdf, tf.df_scale(dxdf, alpha32))
+            r = b_df
             for td in range(levels):
-                Atd = OffsetMatrix.from_values(A64[td], layout)
-                r = r + Atd.mv(xs[td])
-            st64 = {**state, "wp": ref["wp"], "x_star": xs,
-                    "K_params": K_params64,
+                r = tf.df_add(r, tf.df_offset_mv(
+                    tf.DF(A_df.hi[td], A_df.lo[td]), layout,
+                    tf.DF(xs.hi[td], xs.lo[td])))
+            # nonaffine boundary residues: f64 on boundary-sized data —
+            # x* materialized in f64 ONLY at the boundary DOF slots
+            xs_b64 = (xs.hi[:, bnd].astype(f64)
+                      + xs.lo[:, bnd].astype(f64))
+            xs64 = jnp.zeros((levels, bfs), f64).at[:, bnd].set(xs_b64)
+            st64 = {**state, "wp": ref["wp"], "x_star": xs64,
+                    "K_params": K_params64, "r_compact": True,
                     "t": t.astype(f64), "dt": dt64}
-            r_nl, K_nl = run_phase(st64, "nonaff_nl")
-            return r + r_nl, K_nl
+            r_nl_c, _ = run_phase(st64, "nonaff_res")   # compact f64
+            touched = state["maps"]["nonaff_res"]["r_touched"]
+            # exact add of the compact remainder into the pair at the
+            # touched rows (all ops on touched-sized arrays)
+            r_t64 = (r.hi[touched].astype(f64)
+                     + r.lo[touched].astype(f64) + r_nl_c)
+            t_hi = r_t64.astype(f32)
+            t_lo = (r_t64 - t_hi.astype(f64)).astype(f32)
+            r = tf.DF(r.hi.at[touched].set(t_hi),
+                      r.lo.at[touched].set(t_lo))
+            # nonaffine tangent blocks in plain f32 (tangent accuracy
+            # only affects the convergence rate, not the answer)
+            st32 = {**state, "x_star": xs.hi,
+                    "K_params": K_params64.astype(f32)}
+            _, K_nl = run_phase(st32, "nl_grad")
+            return r, K_nl
 
-        def inner_tol(rr):
-            return jnp.maximum(jnp.asarray(tol, rr.dtype),
-                               forcing * jnp.linalg.norm(rr) / sqrt_n)
+        def norm_n(r):
+            return jnp.linalg.norm(r.hi) / sqrt_n
 
-        dx0 = initialize_dx(x, dt64, gamma)
+        dx0 = df_initialize_dx(xdf, dtp)
         r0, K0 = residual_and_knl(dx0)
-        res0 = jnp.linalg.norm(r0) / sqrt_n
+        res0 = norm_n(r0)
 
         def cond(carry):
-            dx, r64, K_nl, res, res_prev, it = carry
+            dx_hi, dx_lo, r_hi, r_lo, K_nl, res, res_prev, it = carry
             return ((res > tol) & (it < max_refine)
                     & (res < stall_ratio * res_prev))
 
         def body(carry):
-            dx, r64, K_nl, res_in, _, it = carry
-            A = OffsetMatrix.from_values(K_lin + K_nl.astype(sdtype),
-                                         layout)
-            rr = r64.astype(sdtype)
-            delta = jnp.zeros_like(rr)
-            if mg_hier is not None:
-                from ..linsolve import multigrid
-                op = multigrid.MGOperator(A, mg_state, mg_hier)
-                for _ in range(max_pass):
-                    y_i, _, _ = sv_func(op, rr, tol=inner_tol(rr),
-                                        maxiter=maxiter, **sv_kwargs)
-                    delta = delta + op.apply_m(y_i)
-                    rr = r64.astype(sdtype) - A.mv(delta)
-            else:
-                As, unscale = pr_jacobi(A, None)
-                for _ in range(max_pass):
-                    d_i, _, _ = sv_func(As, rr, tol=inner_tol(rr),
-                                        maxiter=maxiter, **sv_kwargs)
-                    delta = delta + d_i
-                    rr = r64.astype(sdtype) - As.mv(delta)
-                delta = unscale(delta)
-            dx = dx + beta[:, None] * (-delta.astype(f64))[None, :]
-            r64b, K_nlb = residual_and_knl(dx)
-            res2 = jnp.linalg.norm(r64b) / sqrt_n
-            return dx, r64b, K_nlb, res2, res_in, it + 1
+            dx_hi, dx_lo, r_hi, r_lo, K_nl, res_in, _, it = carry
+            A = OffsetMatrix.from_values(K_lin + K_nl, layout)
+            delta = solve_f32(state, A, r_hi, inner_tol(res_in, f32))
+            dxdf = tf.df_add_f32(tf.DF(dx_hi, dx_lo),
+                                 -beta32[:, None] * delta[None, :])
+            r2, K2 = residual_and_knl(dxdf)
+            res2 = norm_n(r2)
+            return (dxdf.hi, dxdf.lo, r2.hi, r2.lo, K2, res2, res_in,
+                    it + 1)
 
-        big = jnp.asarray(np.finfo(np.float32).max, f64)
-        dx, _, _, res, _, it = jax.lax.while_loop(
-            cond, body, (dx0, r0, K0, res0, big, 0))
-        return x + dx, dx, res, it
+        big = jnp.asarray(np.finfo(np.float32).max, jnp.float32)
+        dx_hi, dx_lo, _, _, _, res, _, it = jax.lax.while_loop(
+            cond, body,
+            (dx0.hi, dx0.lo, r0.hi, r0.lo, K0, res0, big, 0))
+        dxdf = tf.DF(dx_hi, dx_lo)
+        x_new = tf.df_add(xdf, dxdf)
+        if not as_df:
+            return (tf.df_to_f64(x_new), tf.df_to_f64(dxdf),
+                    res.astype(jnp.float64), it)
+        return x_new, dxdf, res.astype(jnp.float64), it
 
     return step

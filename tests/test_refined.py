@@ -18,13 +18,13 @@ from metafem.linsolve.block_offset import OffsetMatrix
 from metafem.solver.domain import FEM_Domain
 
 
-def _radiating_thermal(nel=(16, 8), transient=False):
+def _radiating_thermal(nel=(16, 8), transient=False, dtype=None):
     """Thermal strip with convection + T^4 radiation boundary (the
     2D_Script.jl configuration): affine volume, nonaffine boundary."""
     L1, L2 = 0.02, 0.01
     vert, conn = mf.make_square((L1, L2), nel)
     geo = mf.construct_total_mesh(vert, conn)
-    dom = FEM_Domain(2)
+    dom = FEM_Domain(2, dtype=dtype)
     wp = dom.add_workpiece(geo)
     eps = 1e-9
     ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
@@ -96,9 +96,13 @@ def test_refined_residual_identity(transient):
 
     ref = state["refined"]
     lo = dom.pattern.offset_layout
-    r = ref["b64"]
+    A64 = (np.asarray(ref["A_hi"], np.float64)
+           + np.asarray(ref["A_lo"], np.float64))
+    r = (np.asarray(ref["b_hi"], np.float64)
+         + np.asarray(ref["b_lo"], np.float64))
     for td in range(dom.pattern.max_time_level + 1):
-        r = r + OffsetMatrix.from_values(ref["A64"][td], lo).mv(xs[td])
+        r = r + OffsetMatrix.from_values(jnp.asarray(A64[td]), lo).mv(
+            xs[td])
     st64 = dict(st)
     st64["wp"] = ref["wp"]
     r_nl, _ = dom._run_phase(st64, "nonaff_nl")
@@ -134,6 +138,42 @@ def test_refined_step_converges_below_f32_floor():
     scale = np.abs(np.asarray(x2)).max()
     np.testing.assert_allclose(np.asarray(x_new), np.asarray(x2),
                                atol=1e-10 * scale)
+
+
+def test_refined_step_df32_mode():
+    """The two-float (df32) residual mode — the TPU production path —
+    must converge far below the f32 floor from an f32 domain and match
+    the f64-mode solution."""
+    domf = _radiating_thermal(dtype=jnp.float32)
+    dom64 = _radiating_thermal()
+    domf.converge_tol = 1e-8
+    domf.freeze_linear_tangent()
+    domf.setup_mg()
+    domf.freeze_refined_residual()
+    step = domf.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                  max_refine=14, residual_mode="df32")
+    x_new, dx, res, it = step(domf._runtime_state(),
+                              domf.x.astype(jnp.float64),
+                              jnp.float64(0.0), jnp.float64(1.0))
+    # f32 assembly floor on this problem is ~1e-4 normalized; df32 must
+    # go orders below it
+    assert float(res) < 1e-8, float(res)
+
+    # f64-mode reference on the f64 twin domain
+    dom64.converge_tol = 1e-11
+    dom64.freeze_linear_tangent()
+    dom64.setup_mg()
+    dom64.freeze_refined_residual()
+    step64 = dom64.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                     max_refine=14, residual_mode="f64")
+    x64, _, res64, _ = step64(dom64._runtime_state(), dom64.x,
+                              jnp.float64(0.0), jnp.float64(1.0))
+    scale = np.abs(np.asarray(x64)).max()
+    # the two modes solve slightly different discrete operators (f32 vs
+    # f64 geometry tables in the f32/f64 domains) — agreement to the
+    # operator-perturbation level
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x64),
+                               atol=2e-5 * scale)
 
 
 def test_refined_step_jacobi_precond():

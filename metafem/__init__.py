@@ -14,7 +14,8 @@ from .config import set_float_dtype, fdtype, idtype
 from .symbolics import (Bilinear, Expr, SymRef, index, indices, fn, log,
                         ifelse, d, visualize)
 from .solver import FEM_Domain
-from .mesh.builders import make_square, make_brick, select_facets
+from .mesh.builders import (make_square, make_brick, refine_simplex,
+                            select_facets)
 from .mesh.ref_geometry import construct_total_mesh, get_boundary_mesh
 from .mesh.readers import read_mesh
 

@@ -1,0 +1,301 @@
+"""Auxiliary-space multigrid preconditioner for UNSTRUCTURED meshes.
+
+The geometric multigrid in multigrid.py needs lattice control-point
+numbering — graded tet meshes (the reference's flagship pikachu mesh,
+docs/src/examples/src/pikachu/pikachu.jl) never qualify: embedding the
+nodes injectively in a uniform lattice inflates 100x+ under 5x grading
+(measured).  The TPU-native answer is *auxiliary-space preconditioning*
+(Xu 1996): keep the true unstructured operator A for fine-level
+smoothing, and route the coarse-grid correction through a uniform
+auxiliary lattice that does NOT have to resolve the fine mesh —
+
+    M = smoother(A)  +  P · MG_lattice(Pᵀ A P) · Pᵀ
+
+* P is nodewise multilinear interpolation from the 2^d corners of each
+  node's auxiliary cell — on device it is 2^d gathers (P) / segment-sums
+  + static lattice shifts (Pᵀ), no scatters.
+* The Galerkin aux operator Pᵀ A P is assembled ONCE on the host (scipy,
+  at setup) and lands exactly in the lattice-stencil form the existing
+  hierarchy consumes (multigrid.mg_setup_from_stencil): probed Galerkin
+  coarsening, damped-Jacobi smoothing, dense MXU coarsest solve — all
+  reused unchanged below the aux level.
+* Aux cells never touched by a node are ghost slots: unit-sign diagonal,
+  masked transfers (the same ghost treatment as the lattice path).
+
+This replaces the role of the reference's ILU preconditioner
+(src/solvers/02_Preconditioner.jl) for its unstructured examples — ILU's
+sequential triangular solves are TPU-hostile (see poly.py); a V-cycle is
+a handful of SpMVs + dense lattice stencils.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import multigrid
+from .block_offset import OffsetMatrix
+from .multigrid import MGHierarchy, _safe_inv
+
+
+@dataclasses.dataclass(frozen=True)
+class AuxDesc:
+    """Static description (jit aux data) of the aux-space transfer."""
+    dim: int
+    channels: int
+    n_cp: int
+    n_lat: int
+    aux_shape: Tuple[int, ...]
+    corner_offs: Tuple[int, ...]        # 2^d flat lattice offsets (>= 0)
+    nu1: int = 2
+    nu2: int = 2
+
+
+def estimate_spacing(coords: np.ndarray, el_cp: np.ndarray,
+                     sample: int = 20000, seed: int = 0) -> float:
+    """Median over (sampled) elements of the min intra-element control-
+    point distance — the natural fine resolution of the mesh."""
+    n_el = len(el_cp)
+    if n_el > sample:
+        idx = np.random.default_rng(seed).choice(n_el, sample,
+                                                 replace=False)
+        el_cp = el_cp[idx]
+    p = coords[el_cp]                                   # [e, a, dim]
+    d = np.linalg.norm(p[:, :, None, :] - p[:, None, :, :], axis=-1)
+    iu = np.triu_indices(el_cp.shape[1], 1)
+    return float(np.median(d[:, iu[0], iu[1]].min(axis=1)))
+
+
+def build_transfer(coords: np.ndarray, h: float):
+    """Cell ids + multilinear corner weights of each node on a uniform
+    lattice of spacing ``h`` covering the point cloud (1-cell margin so
+    corner ids never leave the lattice).
+
+    Returns (cell_flat [n], weights [n, 2^d], aux_shape, corner_offs)."""
+    n, dim = coords.shape
+    lo = coords.min(axis=0) - 1.5 * h
+    rel = (coords - lo) / h
+    cell = np.floor(rel).astype(np.int64)
+    frac = rel - cell
+    shape = tuple(int(s) for s in (cell.max(axis=0) + 2))
+    strides = np.cumprod((1,) + shape[:0:-1])[::-1].astype(np.int64)
+    cell_flat = cell @ strides
+    corners = list(itertools.product((0, 1), repeat=dim))
+    corner_offs = tuple(int(np.dot(c, strides)) for c in corners)
+    w = np.ones((n, len(corners)))
+    for j, c in enumerate(corners):
+        for a, bit in enumerate(c):
+            w[:, j] *= frac[:, a] if bit else (1.0 - frac[:, a])
+    # Clamp tiny corner weights (nodes sitting ~on a lattice entity) and
+    # renormalize: keeps the partition of unity while preventing aux
+    # points that are touched only through 1e-9-weight tails — their
+    # Galerkin rows are near-null and blow up the coarse inverses.
+    w[w < 1e-3] = 0.0
+    w /= w.sum(axis=1, keepdims=True)
+    return cell_flat, w, shape, corner_offs
+
+
+def galerkin_stencil(A_scipy, cell_flat: np.ndarray, w: np.ndarray,
+                     aux_shape: Tuple[int, ...], channels: int,
+                     radius: int, dtype):
+    """Host Galerkin Pᵀ A P on the aux lattice, returned in the stencil
+    form [n_off, C, C, *aux_shape] the lattice hierarchy consumes, plus
+    the occupancy mask and the dropped-entry fraction.
+
+    Entries whose per-axis lattice displacement exceeds ``radius`` (rare:
+    only couplings through elements much larger than the aux spacing)
+    are dropped — harmless for a preconditioner, and keeping them would
+    square the stencil storage."""
+    import scipy.sparse as sp
+
+    n_lat = int(np.prod(aux_shape))
+    dim = len(aux_shape)
+    n_cp = len(cell_flat)
+    rows = np.repeat(np.arange(n_cp, dtype=np.int64), w.shape[1])
+    # corner flat ids
+    strides = np.cumprod((1,) + aux_shape[:0:-1])[::-1].astype(np.int64)
+    corners = list(itertools.product((0, 1), repeat=dim))
+    corner_offs = np.asarray([np.dot(c, strides) for c in corners])
+    cols = (cell_flat[:, None] + corner_offs[None, :]).reshape(-1)
+    P1 = sp.coo_matrix((w.reshape(-1), (rows, cols)),
+                       shape=(n_cp, n_lat)).tocsr()
+    P = sp.kron(sp.eye(channels, format="csr"), P1, format="csr")
+    Ac = (P.T @ A_scipy.tocsr() @ P).tocoo()
+
+    ci, cj = Ac.row // n_lat, Ac.col // n_lat
+    li, lj = Ac.row % n_lat, Ac.col % n_lat
+    ki = np.stack(np.unravel_index(li, aux_shape), 1)
+    kj = np.stack(np.unravel_index(lj, aux_shape), 1)
+    k = kj - ki                                         # exact, no alias
+    keep = (np.abs(k) <= radius).all(axis=1)
+    dropped = 1.0 - (np.abs(Ac.data[keep]).sum()
+                     / max(np.abs(Ac.data).sum(), 1e-300))
+
+    offsets = list(itertools.product(range(-radius, radius + 1),
+                                     repeat=dim))
+    off_index = {o: i for i, o in enumerate(offsets)}
+    oi = np.asarray([off_index[tuple(kk)] for kk in k[keep]])
+    coefs = np.zeros((len(offsets), channels, channels, n_lat))
+    np.add.at(coefs, (oi, ci[keep], cj[keep], li[keep]), Ac.data[keep])
+
+    # occupancy: aux points receiving any interpolation weight
+    occupied = np.zeros(n_lat, dtype=bool)
+    np.logical_or.at(occupied, cols, w.reshape(-1) != 0.0)
+    # ghost slots: typical-magnitude diagonal of the PDE's sign so the
+    # smoother calibration and Jacobi stay sane; masked transfers keep
+    # them out of the correction entirely
+    i0 = off_index[(0,) * dim]
+    diag_occ = coefs[i0, np.arange(channels)[:, None],
+                     np.arange(channels)[:, None], occupied]
+    dmed = np.median(np.abs(diag_occ)) or 1.0
+    dsign = np.sign(np.median(diag_occ)) or 1.0
+    for c in range(channels):
+        coefs[i0, c, c, ~occupied] = dsign * dmed
+    coefs = coefs.reshape((len(offsets), channels, channels) + aux_shape)
+    mask = occupied.astype(np.float64)
+    return (jnp.asarray(coefs, dtype), jnp.asarray(mask, dtype),
+            float(dropped))
+
+
+def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
+          radius: int = 2, nu1: int = 2, nu2: int = 2, n_power: int = 12,
+          verbose: bool = False, **hier_opts):
+    """Freeze the aux-space MG state from an assembled tangent's storage
+    values ``K_total`` (see FEM_Domain.setup_auxmg).  Returns the
+    (pytree, static) pair make_op consumes."""
+    import scipy.sparse as sp
+
+    if len(domain.workpieces) != 1:
+        raise ValueError("auxmg: single-workpiece domains only")
+    wp = domain.workpieces[0]
+    mesh = wp.mesh
+    if mesh.is_occupied is not None and not mesh.is_occupied.all():
+        raise ValueError("auxmg targets unstructured meshes; this mesh "
+                         "has lattice numbering — use precond='mg'")
+    pattern = domain.pattern
+    layout = pattern.offset_layout
+    C = pattern.wp_infos[0].n_vars
+    n_cp = mesh.n_cp
+    coords = mesh.cp_coords
+
+    if h is None:
+        h = h_factor * estimate_spacing(coords, mesh.el_cp)
+    cell_flat, w, aux_shape, corner_offs = build_transfer(coords, h)
+
+    vals = np.asarray(K_total, np.float64)[layout.storage_of_slot]
+    A_sp = sp.coo_matrix(
+        (vals, (pattern.coo_rows.astype(np.int64),
+                pattern.coo_cols.astype(np.int64))),
+        shape=(pattern.basicfield_size, pattern.basicfield_size))
+    coefs, mask, dropped = galerkin_stencil(
+        A_sp, cell_flat, w, aux_shape, C, radius, domain.dtype)
+    if verbose:
+        print(f"[auxmg] aux lattice {aux_shape} = "
+              f"{int(np.prod(aux_shape))} points "
+              f"({np.prod(aux_shape)/n_cp:.2f}x of {n_cp} cps), "
+              f"dropped |A_c| fraction {dropped:.2e}")
+
+    # lattice hierarchy below the aux level (radius r_aux == hier radius)
+    hier = multigrid.build_hierarchy(
+        aux_shape, C, fine_radius=2 * radius - 2, nu1=nu1, nu2=nu2,
+        n_power=n_power, **hier_opts)
+    assert hier.radius == radius
+    lat_state = jax.jit(multigrid.mg_setup_from_stencil,
+                        static_argnums=0)(hier, coefs, mask)
+
+    # fine-level damped-Jacobi calibration on the true operator
+    A_dev = OffsetMatrix.from_values(jnp.asarray(K_total), layout)
+    invd = _safe_inv(A_dev.diag())
+
+    @jax.jit
+    def calibrate(A, invd):
+        v = jax.random.normal(jax.random.PRNGKey(7),
+                              (pattern.basicfield_size,), invd.dtype)
+        v = v / jnp.linalg.norm(v)
+
+        def body(v, _):
+            u = invd * A.mv(v)
+            lam = jnp.linalg.norm(u)
+            return u / jnp.where(lam == 0, 1.0, lam), lam
+
+        _, lams = jax.lax.scan(body, v, None, length=n_power)
+        lam = lams[-1] * 1.1
+        return (4.0 / 3.0) / jnp.where(lam == 0, 1.0, lam)
+
+    omega = calibrate(A_dev, invd)
+    desc = AuxDesc(dim=mesh.dim, channels=C, n_cp=n_cp,
+                   n_lat=int(np.prod(aux_shape)), aux_shape=aux_shape,
+                   corner_offs=corner_offs, nu1=nu1, nu2=nu2)
+    tree = {"cell": jnp.asarray(cell_flat.astype(np.int32)),
+            "w": jnp.asarray(w, domain.dtype),
+            "inv_diag": invd, "omega": omega, "lat": lat_state}
+    return tree, (desc, hier)
+
+
+def _shift_flat(s: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
+    """y[i + k] = s[i] on the flat lattice axis (k >= 0 here)."""
+    if k == 0:
+        return s
+    return jnp.concatenate([jnp.zeros(s.shape[:-1] + (k,), s.dtype),
+                            s[..., :n - k]], axis=-1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class AuxMGOperator:
+    """A ∘ M for the Krylov menu: solve (A M) y = b, then x = M y."""
+    A: OffsetMatrix
+    tree: dict
+    hier: MGHierarchy                     # static
+    desc: AuxDesc                         # static
+
+    def tree_flatten(self):
+        return (self.A, self.tree), (self.hier, self.desc)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    # -- transfers ------------------------------------------------------
+    def _pt(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Pᵀ r: [C*n_cp] -> [C, *aux_shape].  Per corner: a weighted
+        cell segment-sum + a static flat shift — no scatters."""
+        d, t = self.desc, self.tree
+        rw = r.reshape(d.channels, d.n_cp)
+        rc = jnp.zeros((d.channels, d.n_lat), r.dtype)
+        for j, off in enumerate(d.corner_offs):
+            s = jax.ops.segment_sum((t["w"][:, j] * rw).T, t["cell"],
+                                    num_segments=d.n_lat)   # [n_lat, C]
+            rc = rc + _shift_flat(s.T, off, d.n_lat)
+        return rc.reshape((d.channels,) + d.aux_shape)
+
+    def _p(self, xc: jnp.ndarray) -> jnp.ndarray:
+        """P xc: [C, *aux_shape] -> [C*n_cp]; 2^d gathers."""
+        d, t = self.desc, self.tree
+        xf = xc.reshape(d.channels, d.n_lat)
+        out = jnp.zeros((d.channels, d.n_cp), xc.dtype)
+        for j, off in enumerate(d.corner_offs):
+            out = out + t["w"][:, j] * xf[:, t["cell"] + off]
+        return out.reshape(-1)
+
+    # -- the aux V-cycle -------------------------------------------------
+    def apply_m(self, b: jnp.ndarray) -> jnp.ndarray:
+        d, t = self.desc, self.tree
+        invd, om = t["inv_diag"], t["omega"]
+        x = om * invd * b
+        for _ in range(d.nu1 - 1):
+            x = x + om * invd * (b - self.A.mv(x))
+        r = b - self.A.mv(x)
+        xc = multigrid._vcycle_level(self.hier, t["lat"], 0, self._pt(r))
+        x = x + self._p(xc)
+        for _ in range(d.nu2):
+            x = x + om * invd * (b - self.A.mv(x))
+        return x
+
+    def mv(self, v: jnp.ndarray) -> jnp.ndarray:
+        return self.A.mv(self.apply_m(v))

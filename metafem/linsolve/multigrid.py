@@ -300,7 +300,7 @@ def _stencil_to_dense(coefs: jnp.ndarray, shape: Tuple[int, ...],
 def _apply_level(hier: MGHierarchy, state, level: int,
                  x: jnp.ndarray) -> jnp.ndarray:
     """Apply the level operator to x [C, *S_level]."""
-    if level == 0:
+    if level == 0 and "A" in state[0]:
         A: OffsetMatrix = state[0]["A"]
         return A.mv(x.reshape(-1)).reshape(x.shape)
     return _stencil_mv(state[level]["coefs"], x, hier.offsets, hier.radius)
@@ -406,6 +406,21 @@ def _safe_inv(d):
     return jnp.where(d == 0, 0.0, 1.0 / jnp.where(d == 0, 1.0, d))
 
 
+def _floored_inv(d):
+    """Jacobi inverse with a relative magnitude floor: entries below
+    1e-6x the median nonzero magnitude are clamped (sign kept) so the
+    smoother never multiplies a residual by 1e7+ at near-null points
+    (graded-mesh aux lattices produce these; see _setup_coarser_levels).
+    Exact zeros (ghost slots handled elsewhere) stay zero."""
+    a = jnp.abs(d)
+    med = jnp.nanmedian(jnp.where(a == 0, jnp.nan, a))
+    med = jnp.where(jnp.isnan(med), 1.0, med)
+    floor = 1e-6 * med
+    sgn = jnp.where(d < 0, -1.0, 1.0).astype(d.dtype)
+    df = jnp.where((a > 0) & (a < floor), sgn * floor, d)
+    return _safe_inv(df)
+
+
 def _fine_diag_blocks(A: OffsetMatrix, C: int,
                       shape: Tuple[int, ...]) -> jnp.ndarray:
     """Same-node channel-coupling blocks [C, C, *S] of the fine operator,
@@ -475,11 +490,19 @@ def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
             _fine_diag_blocks(A, C, hier.shapes[0]), C)
     state[0]["omega"] = _calibrate(hier, state, 0, dtype)
 
+    return _setup_coarser_levels(hier, state, dtype)
+
+
+def _setup_coarser_levels(hier: MGHierarchy, state: List[dict],
+                          dtype) -> tuple:
+    """Probe levels 1.. from an initialized level-0 entry and factor the
+    coarsest level (shared by mg_setup and mg_setup_from_stencil)."""
+    C = hier.channels
     i0 = list(hier.offsets).index((0,) * hier.dim)
     for level in range(1, hier.n_levels):
         coefs = _probe_level(hier, state, level - 1, dtype)
         entry = {"coefs": coefs,
-                 "inv_diag": _safe_inv(
+                 "inv_diag": _floored_inv(
                      _stencil_diag(coefs, list(hier.offsets), C))}
         if hier.block_smooth and C > 1:
             entry["inv_diag_blk"] = _inv_blocks(coefs[i0], C)
@@ -497,8 +520,41 @@ def mg_setup(hier: MGHierarchy, A: OffsetMatrix,
                               list(hier.offsets), C)
     diag = jnp.diagonal(dense)
     dense = dense + jnp.diag(jnp.where(diag == 0, 1.0, 0.0).astype(dtype))
-    state[last]["inv"] = jnp.linalg.inv(dense)
+    # Truncated pseudo-inverse: under mesh grading the Galerkin coarse
+    # operator carries a continuum of near-null rows (aux-lattice points
+    # supported only by tiny elements or interpolation tails); a plain
+    # inverse then has norm 1e12+ and its cancellation noise (eps*||inv||)
+    # swamps the V-cycle.  Dropping sigma < 1e-7*sigma_max caps ||inv||
+    # — the discarded directions simply get no coarse correction, which
+    # the smoother and the outer Krylov absorb.  Equilibrate first
+    # (sqrt-diag Jacobi) so the cutoff is physical, not scaling artifact.
+    s = _safe_inv(jnp.sqrt(jnp.abs(jnp.diagonal(dense))))
+    s = jnp.where(s == 0, 1.0, s)
+    U, sig, Vt = jnp.linalg.svd(s[:, None] * dense * s[None, :])
+    sig_inv = jnp.where(sig > 1e-7 * sig[0], 1.0 / sig, 0.0)
+    state[last]["inv"] = (s[:, None] * (Vt.T * sig_inv[None, :])
+                          @ U.T * s[None, :])
     return tuple(state)
+
+
+def mg_setup_from_stencil(hier: MGHierarchy, coefs0: jnp.ndarray,
+                          mask: Optional[jnp.ndarray] = None) -> tuple:
+    """Build the V-cycle state when the FINEST level is already a lattice
+    stencil (``coefs0`` [n_off, C, C, *shapes[0]]) rather than an
+    assembled OffsetMatrix — the auxiliary-space path (auxmg.py) seeds
+    the hierarchy with the host-Galerkin aux-lattice operator."""
+    dtype = coefs0.dtype
+    C = hier.channels
+    state: List[dict] = [{"coefs": coefs0}]
+    if mask is not None:
+        state[0]["mask"] = mask.reshape((1,) + hier.shapes[0]).astype(dtype)
+    state[0]["inv_diag"] = _floored_inv(
+        _stencil_diag(coefs0, list(hier.offsets), C))
+    if hier.block_smooth and C > 1:
+        i0 = list(hier.offsets).index((0,) * hier.dim)
+        state[0]["inv_diag_blk"] = _inv_blocks(coefs0[i0], C)
+    state[0]["omega"] = _calibrate(hier, state, 0, dtype)
+    return _setup_coarser_levels(hier, state, dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -91,3 +91,55 @@ def select_facets(mesh, predicate) -> np.ndarray:
     centers = mesh.facet_centers()[bids]
     mask = predicate(centers)
     return bids[np.asarray(mask, dtype=bool)]
+
+
+def refine_simplex(vert: np.ndarray, conn: np.ndarray):
+    """One level of uniform simplex refinement: every triangle splits
+    into 4, every tet into 8 (corner cut + Bey's 4-tet octahedron split
+    along the e02-e13 diagonal — shape quality stays bounded under
+    repeated refinement).  New vertices are shared edge midpoints.
+
+    The reference has no refinement helper; this exists to scale its
+    fixed example meshes (e.g. the pikachu tet mesh,
+    examples/thermal_conduction/3D_COMSOL_Mesh.mphtxt) to the multi-
+    million-DOF sizes the TPU solvers target.
+
+    Returns (vert, conn) with the original vertices first."""
+    vert = np.asarray(vert, dtype=np.float64)
+    conn = np.asarray(conn, dtype=np.int64)
+    n_corner = conn.shape[1]
+    if n_corner == 3:                                    # triangles
+        edge_list = [(0, 1), (0, 2), (1, 2)]
+    elif n_corner == 4 and vert.shape[1] == 3:           # tets
+        edge_list = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    else:
+        raise ValueError("refine_simplex supports 2D triangles and 3D "
+                         "tets (got %d corners in %dD)"
+                         % (n_corner, vert.shape[1]))
+    eps = np.stack([conn[:, list(e)] for e in edge_list], 1)
+    eps_s = np.sort(eps.reshape(-1, 2), axis=1)
+    uniq, inv = np.unique(eps_s, axis=0, return_inverse=True)
+    mid = 0.5 * (vert[uniq[:, 0]] + vert[uniq[:, 1]])
+    m = inv.reshape(len(conn), len(edge_list)) + len(vert)
+    v = np.concatenate([vert, mid])
+    if n_corner == 3:
+        a, b, c = conn.T
+        e01, e02, e12 = m.T
+        new = np.stack([
+            np.stack([a, e01, e02], 1), np.stack([e01, b, e12], 1),
+            np.stack([e02, e12, c], 1), np.stack([e01, e12, e02], 1),
+        ], 1).reshape(-1, 3)
+    else:
+        a, b, c, d = conn.T
+        e01, e02, e03, e12, e13, e23 = m.T
+        new = np.stack([
+            np.stack([a, e01, e02, e03], 1),
+            np.stack([e01, b, e12, e13], 1),
+            np.stack([e02, e12, c, e23], 1),
+            np.stack([e03, e13, e23, d], 1),
+            np.stack([e01, e02, e03, e13], 1),
+            np.stack([e01, e02, e13, e12], 1),
+            np.stack([e02, e03, e13, e23], 1),
+            np.stack([e02, e12, e23, e13], 1),
+        ], 1).reshape(-1, 4)
+    return v, new

@@ -385,10 +385,35 @@ class FEM_Domain:
             return None
         return jnp.asarray(vec, dtype=self.dtype)
 
-    def make_iterative_solver(self, sv_func=None, **kwargs) -> Callable:
+    def make_iterative_solver(self, sv_func=None, precond=None,
+                              **kwargs) -> Callable:
+        """``precond=None``: the reference's iterative_Solve! behavior
+        (right-Jacobi scaled Krylov, 02_Preconditioner.jl:30-78).
+        ``precond='auxmg'``: auxiliary-space multigrid (auxmg.py) — call
+        ``setup_auxmg()`` first; the frozen aux hierarchy is combined
+        with each fresh tangent's values and diagonal."""
         sv_func = sv_func or linsolve.krylov.bicgstab
         kwargs.setdefault("maxiter", 2000)
         kwargs.setdefault("max_pass", 10)
+
+        if precond == "auxmg":
+            from ..linsolve import auxmg
+            from ..linsolve.multigrid import _safe_inv
+
+            def solve(A, b):
+                if getattr(self, "_auxmg", None) is None:
+                    raise RuntimeError("call domain.setup_auxmg() first")
+                tree, (desc, hier) = self._auxmg
+                tree = {**tree, "inv_diag": _safe_inv(A.diag())}
+                op = auxmg.AuxMGOperator(A, tree, hier, desc)
+                y = iterative_solve(op, b, None,
+                                    converge_tol=self.converge_tol,
+                                    sv_func=sv_func, use_pr_jacobi=False,
+                                    **kwargs)
+                return op.apply_m(y)
+            return solve
+        if precond is not None:
+            raise ValueError(f"unknown precond {precond!r}")
 
         def solve(A, b):
             return iterative_solve(A, b, None,
@@ -625,6 +650,21 @@ class FEM_Domain:
         mask = multigrid.mask_for_domain(self)
         self._mg_frozen = jax.jit(
             lambda A, m: multigrid.mg_setup(hier, A, m))(A, mask)
+
+    def setup_auxmg(self, **opts) -> None:
+        """Freeze the auxiliary-space multigrid preconditioner (for
+        UNSTRUCTURED meshes — the counterpart of setup_mg) from the
+        tangent at the current x.  Consumed by
+        ``make_iterative_solver(precond='auxmg')``; valid while that
+        tangent stays representative (linear problems: exact)."""
+        from ..linsolve import auxmg
+        ga = self.time_discretization
+        ga.update_time(self.dt or 1.0, self.pattern.max_time_level)
+        state = self._runtime_state()
+        state["K_linear"] = self._k_linear(state)
+        state["x_star"] = self.x
+        _, K_total = self._res_k(state)
+        self._auxmg = auxmg.setup(self, K_total, **opts)
 
     def _runtime_state(self) -> dict:
         ga = self.time_discretization

@@ -135,8 +135,12 @@ def centerline_u(dom, wp, u_st, params):
 
 
 def ghia(Re):
-    raw = np.genfromtxt(os.path.join(GHIA_DIR, f"Ghia_Re{Re}.csv"),
-                        delimiter=",", names=True)
+    # Ghia_Re3200.csv quotes its values ("\t0.53236"); strip quotes
+    # before parsing (the other files are plain CSV).
+    path = os.path.join(GHIA_DIR, f"Ghia_Re{Re}.csv")
+    with open(path) as f:
+        lines = [ln.replace('"', "").strip() for ln in f]
+    raw = np.genfromtxt(lines, delimiter=",", names=True)
     return raw["y"], raw["u"]
 
 

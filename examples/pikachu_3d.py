@@ -21,14 +21,15 @@ MESH_PATH = os.path.join(REF_DIR, "3D_COMSOL_Mesh.mphtxt")
 K_COND, H_CONV, T_ENV, SOURCE = 0.6, 25.0, 273.15 + 20, 1600.0
 
 
-def build(itp_order=2, itg_order=5, dynamic=False, C=1.0, refine=0):
+def build(itp_order=2, itg_order=5, dynamic=False, C=1.0, refine=0,
+          dtype=None):
     vert, conn = mf.read_mesh(MESH_PATH)
     vert = np.asarray(vert) / 100.0
     for _ in range(refine):        # uniform splits toward the 1M-DOF target
         vert, conn = mf.refine_simplex(vert, conn)
     geo = mf.construct_total_mesh(vert, conn)
 
-    dom = FEM_Domain(3)
+    dom = FEM_Domain(3) if dtype is None else FEM_Domain(3, dtype=dtype)
     wp = dom.add_workpiece(geo)
     bg = dom.add_boundary(wp, geo.boundary_facet_ids())
 

@@ -192,21 +192,29 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
         (vals, (pattern.coo_rows.astype(np.int64),
                 pattern.coo_cols.astype(np.int64))),
         shape=(pattern.basicfield_size, pattern.basicfield_size))
-    coefs, mask, dropped = galerkin_stencil(
-        A_sp, cell_flat, w, aux_shape, C, radius, domain.dtype)
+    # Build + probe the aux hierarchy on the HOST CPU backend in f64:
+    # this is one-time setup (like freeze_refined_residual), f64 probing
+    # is exact, and the setup program (dense coarsest inverse included)
+    # need not go through the TPU compiler at all.  Only the finished
+    # V-cycle state ships to the default device, in the domain dtype.
+    hier = multigrid.build_hierarchy(
+        aux_shape, C, fine_radius=2 * radius - 2, nu1=nu1, nu2=nu2,
+        n_power=n_power, **hier_opts)
+    assert hier.radius == radius
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        coefs, mask, dropped = galerkin_stencil(
+            A_sp, cell_flat, w, aux_shape, C, radius, jnp.float64)
+        lat_state = jax.jit(multigrid.mg_setup_from_stencil,
+                            static_argnums=0)(hier, coefs, mask)
+        lat_state = jax.block_until_ready(lat_state)
     if verbose:
         print(f"[auxmg] aux lattice {aux_shape} = "
               f"{int(np.prod(aux_shape))} points "
               f"({np.prod(aux_shape)/n_cp:.2f}x of {n_cp} cps), "
               f"dropped |A_c| fraction {dropped:.2e}")
-
-    # lattice hierarchy below the aux level (radius r_aux == hier radius)
-    hier = multigrid.build_hierarchy(
-        aux_shape, C, fine_radius=2 * radius - 2, nu1=nu1, nu2=nu2,
-        n_power=n_power, **hier_opts)
-    assert hier.radius == radius
-    lat_state = jax.jit(multigrid.mg_setup_from_stencil,
-                        static_argnums=0)(hier, coefs, mask)
+    lat_state = jax.device_put(jax.tree_util.tree_map(
+        lambda x: x.astype(domain.dtype), lat_state))
 
     # fine-level damped-Jacobi calibration on the true operator
     A_dev = OffsetMatrix.from_values(jnp.asarray(K_total), layout)

@@ -520,20 +520,25 @@ def _setup_coarser_levels(hier: MGHierarchy, state: List[dict],
                               list(hier.offsets), C)
     diag = jnp.diagonal(dense)
     dense = dense + jnp.diag(jnp.where(diag == 0, 1.0, 0.0).astype(dtype))
-    # Truncated pseudo-inverse: under mesh grading the Galerkin coarse
+    # Regularized inverse: under mesh grading the Galerkin coarse
     # operator carries a continuum of near-null rows (aux-lattice points
     # supported only by tiny elements or interpolation tails); a plain
     # inverse then has norm 1e12+ and its cancellation noise (eps*||inv||)
-    # swamps the V-cycle.  Dropping sigma < 1e-7*sigma_max caps ||inv||
-    # — the discarded directions simply get no coarse correction, which
-    # the smoother and the outer Krylov absorb.  Equilibrate first
-    # (sqrt-diag Jacobi) so the cutoff is physical, not scaling artifact.
+    # swamps the V-cycle.  Equilibrate (sqrt-|diag| Jacobi, making the
+    # diagonal +-1) and shift by 1e-6 toward the dominant diagonal sign:
+    # caps ||inv|| at ~1e6 in the equilibrated metric while perturbing
+    # healthy directions by only ~1e-6 relative.  The truncated
+    # directions effectively get no coarse correction, which the
+    # smoother and the outer Krylov absorb.  (An SVD cutoff is cleaner
+    # but this function must stay TPU-compilable — it runs inside jitted
+    # steps, jit_step.py — and jnp SVD crashes the TPU XLA pipeline.)
     s = _safe_inv(jnp.sqrt(jnp.abs(jnp.diagonal(dense))))
     s = jnp.where(s == 0, 1.0, s)
-    U, sig, Vt = jnp.linalg.svd(s[:, None] * dense * s[None, :])
-    sig_inv = jnp.where(sig > 1e-7 * sig[0], 1.0 / sig, 0.0)
-    state[last]["inv"] = (s[:, None] * (Vt.T * sig_inv[None, :])
-                          @ U.T * s[None, :])
+    B = s[:, None] * dense * s[None, :]
+    sgn = jnp.sign(jnp.sum(jnp.sign(jnp.diagonal(B))))
+    sgn = jnp.where(sgn == 0, 1.0, sgn).astype(dtype)
+    B = B + (1e-6 * sgn) * jnp.eye(B.shape[0], dtype=dtype)
+    state[last]["inv"] = s[:, None] * jnp.linalg.inv(B) * s[None, :]
     return tuple(state)
 
 

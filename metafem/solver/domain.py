@@ -672,6 +672,9 @@ class FEM_Domain:
                 "ghost_diag": getattr(self, "_ghost_diag", None),
                 "mg_mask": getattr(self, "_mg_mask", None),
                 "mg_frozen": getattr(self, "_mg_frozen", None),
+                "auxmg_tree": (self._auxmg[0]
+                               if getattr(self, "_auxmg", None) is not None
+                               else None),
                 "K_linear_td": getattr(self, "_k_linear_td", None),
                 "refined": getattr(self, "_refined", None),
                 "maps": getattr(self, "_device_maps", {}),

@@ -215,7 +215,8 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     extended precision between steps.
 
     Requires ``freeze_linear_tangent()``, ``freeze_refined_residual()``
-    and (for precond='mg') ``setup_mg()``."""
+    and ``setup_mg()`` (precond='mg', lattice meshes) or
+    ``setup_auxmg()`` (precond='auxmg', unstructured meshes)."""
     import jax as _jax
     from ..linsolve import twofloat as tf
     if getattr(domain, "_refined", None) is None:
@@ -240,11 +241,18 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     bfs = pattern.basicfield_size
 
     mg_hier = None
+    aux_static = None
     if precond == "mg":
         from ..linsolve import multigrid
         mg_hier = multigrid.hierarchy_for_domain(domain)
         if getattr(domain, "_mg_frozen", None) is None:
             raise RuntimeError("call domain.setup_mg() first")
+    elif precond == "auxmg":
+        # unstructured meshes: frozen auxiliary-space hierarchy
+        # (auxmg.py) with the fine Jacobi diagonal refreshed per tangent
+        if getattr(domain, "_auxmg", None) is None:
+            raise RuntimeError("call domain.setup_auxmg() first")
+        aux_static = domain._auxmg[1]           # (desc, hier)
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
 
@@ -262,9 +270,17 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
 
     def solve_f32(state, A, rr, tol_i):
         delta = jnp.zeros_like(rr)
-        if mg_hier is not None:
-            from ..linsolve import multigrid
-            op = multigrid.MGOperator(A, state["mg_frozen"], mg_hier)
+        if mg_hier is not None or aux_static is not None:
+            if mg_hier is not None:
+                from ..linsolve import multigrid
+                op = multigrid.MGOperator(A, state["mg_frozen"], mg_hier)
+            else:
+                from ..linsolve import auxmg as _auxmg
+                from ..linsolve.multigrid import _safe_inv
+                desc, hier = aux_static
+                tree = {**state["auxmg_tree"],
+                        "inv_diag": _safe_inv(A.diag())}
+                op = _auxmg.AuxMGOperator(A, tree, hier, desc)
             for _ in range(max_pass):
                 y_i, _, _ = sv_func(op, rr, tol=tol_i, maxiter=maxiter,
                                     **sv_kwargs)
@@ -351,7 +367,9 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     if domain.dtype != jnp.float32:
         raise ValueError("residual_mode='df32' expects an f32 domain")
     ref_host = domain._refined
-    if ref_host["bnd_dofs"] is None:
+    has_nonaff_res = "r_touched" in getattr(
+        domain, "_device_maps", {}).get("nonaff_res", {})
+    if has_nonaff_res and ref_host["bnd_dofs"] is None:
         raise NotImplementedError(
             "df32 refined step with volume nonaffine forms: the full f64 "
             "x* cast is the emulated-f64 cost this mode avoids — use "
@@ -408,23 +426,26 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                     tf.DF(A_df.hi[td], A_df.lo[td]), layout,
                     tf.DF(xs.hi[td], xs.lo[td])))
             # nonaffine boundary residues: f64 on boundary-sized data —
-            # x* materialized in f64 ONLY at the boundary DOF slots
-            xs_b64 = (xs.hi[:, bnd].astype(f64)
-                      + xs.lo[:, bnd].astype(f64))
-            xs64 = jnp.zeros((levels, bfs), f64).at[:, bnd].set(xs_b64)
-            st64 = {**state, "wp": ref["wp"], "x_star": xs64,
-                    "K_params": K_params64, "r_compact": True,
-                    "t": t.astype(f64), "dt": dt64}
-            r_nl_c, _ = run_phase(st64, "nonaff_res")   # compact f64
-            touched = state["maps"]["nonaff_res"]["r_touched"]
-            # exact add of the compact remainder into the pair at the
-            # touched rows (all ops on touched-sized arrays)
-            r_t64 = (r.hi[touched].astype(f64)
-                     + r.lo[touched].astype(f64) + r_nl_c)
-            t_hi = r_t64.astype(f32)
-            t_lo = (r_t64 - t_hi.astype(f64)).astype(f32)
-            r = tf.DF(r.hi.at[touched].set(t_hi),
-                      r.lo.at[touched].set(t_lo))
+            # x* materialized in f64 ONLY at the boundary DOF slots.
+            # Fully affine physics (e.g. pure-convection thermal) has no
+            # nonaffine residues at all — skip the block entirely.
+            if has_nonaff_res:
+                xs_b64 = (xs.hi[:, bnd].astype(f64)
+                          + xs.lo[:, bnd].astype(f64))
+                xs64 = jnp.zeros((levels, bfs), f64).at[:, bnd].set(xs_b64)
+                st64 = {**state, "wp": ref["wp"], "x_star": xs64,
+                        "K_params": K_params64, "r_compact": True,
+                        "t": t.astype(f64), "dt": dt64}
+                r_nl_c, _ = run_phase(st64, "nonaff_res")   # compact f64
+                touched = state["maps"]["nonaff_res"]["r_touched"]
+                # exact add of the compact remainder into the pair at the
+                # touched rows (all ops on touched-sized arrays)
+                r_t64 = (r.hi[touched].astype(f64)
+                         + r.lo[touched].astype(f64) + r_nl_c)
+                t_hi = r_t64.astype(f32)
+                t_lo = (r_t64 - t_hi.astype(f64)).astype(f32)
+                r = tf.DF(r.hi.at[touched].set(t_hi),
+                          r.lo.at[touched].set(t_lo))
             # nonaffine tangent blocks in plain f32 (tangent accuracy
             # only affects the convergence rate, not the answer)
             st32 = {**state, "x_star": xs.hi,

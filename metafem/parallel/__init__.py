@@ -7,3 +7,5 @@ ICI with XLA-inserted collectives.
 
 from .dataparallel import (shard_domain_state, element_sharding,  # noqa: F401
                            replicated_sharding)
+from .rowshard import (rowblock_sharding, constrain,  # noqa: F401
+                       RowShardedOp)

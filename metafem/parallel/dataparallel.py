@@ -17,10 +17,11 @@ every contribution they scatter is exactly 0 (slot 0 receives +0.0 —
 bitwise no-op in f32/f64).
 
 Scaling note (multi-slice / >16 chips): replicated K forces an AllReduce
-of nnz values; the planned refinement is a reduce_scatter onto row-block
-shards with the Krylov x all-gathered per iteration.  On one slice the
-AllReduce rides ICI and the element axis dominates, so this simpler
-layout is used first.
+of nnz values.  The scale-out refinement lives in rowshard.py — K
+reduce-scattered onto row-block shards, Krylov vectors sharded, dots
+psum'd — enabled per step with ``make_jitted_step(rowshard_mesh=mesh)``.
+On one slice the AllReduce rides ICI and the element axis dominates, so
+this replicated layout stays the default.
 """
 
 from __future__ import annotations

@@ -31,7 +31,8 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                      mg_opts: dict = None, forcing: float = 1e-2,
                      stall_ratio: float = 0.9,
                      static_k_linear: bool = False,
-                     reuse_mg: bool = False, **sv_kwargs):
+                     reuse_mg: bool = False, rowshard_mesh=None,
+                     **sv_kwargs):
     """Build ``step(state, x, t, dt) -> (x_new, dx, res, n_newton)``.
 
     ``state`` is the runtime pytree (geometry, fields, maps, user);
@@ -58,6 +59,14 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     use the MG state built once by ``domain.setup_mg()`` instead of
     probing a fresh hierarchy per step.  Together they cut the fixed
     per-step cost from ~635 ms to the two Newton assemblies at 1M DOF.
+
+    ``rowshard_mesh``: a ``jax.sharding.Mesh`` with an 'el' axis — the
+    scale-out layout (parallel/rowshard.py): the assembled K storage and
+    every solver vector are sharded along their row/storage axis, so
+    assembly lands as a ReduceScatter onto the shards, the SpMV is
+    row-parallel, and the Krylov dots psum over the mesh.  Pass a state
+    placed by ``shard_domain_state`` and jacobi preconditioning (the
+    lattice-MG state is replicated; sharding it is a separate layout).
     """
     pattern = domain.pattern
     ga = domain.time_discretization
@@ -76,6 +85,14 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
         mg_hier = multigrid.hierarchy_for_domain(domain, **(mg_opts or {}))
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
+    if rowshard_mesh is not None:
+        if precond != "jacobi":
+            raise ValueError("rowshard_mesh requires precond='jacobi' "
+                             "(the MG lattice state is replicated)")
+        from ..parallel.rowshard import RowShardedOp, constrain
+    else:
+        RowShardedOp = None
+        constrain = lambda _mesh, v: v
 
     @jax.jit
     def step(state, x, t, dt):
@@ -101,14 +118,17 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                 K_lin = K_lin + st["ghost_diag"]
         else:
             K_lin = k_linear(st)
-        st["K_linear"] = K_lin
+        st["K_linear"] = constrain(rowshard_mesh, K_lin)
         dx0 = initialize_dx(x, dt, gamma)
 
         def res_of(dx):
             st2 = dict(st)
             st2["x_star"] = x_star_of(x, dx, alpha)
             residue, K_total = res_k(st2)
-            return residue, K_total
+            # row-shard layout: land the assembly as a reduce-scatter
+            # onto the storage/row shards instead of a full AllReduce
+            return (constrain(rowshard_mesh, residue),
+                    constrain(rowshard_mesh, K_total))
 
         # MG preconditioner: set up ONCE per step from the predictor-state
         # tangent and frozen across Newton iterations (re-probing per
@@ -157,6 +177,10 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                     rr = residue - A.mv(delta)
             else:
                 A, unscale = pr_jacobi(A, diag_pos)
+                if RowShardedOp is not None:
+                    # every Krylov mv lands row-sharded; GSPMD turns the
+                    # recurrence dots into local-dot + psum over the mesh
+                    A = RowShardedOp(A, rowshard_mesh)
                 for _ in range(max_pass):
                     d_i, _, _ = sv_func(A, rr, tol=inner_tol(rr),
                                         maxiter=maxiter, **sv_kwargs)

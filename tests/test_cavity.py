@@ -30,3 +30,19 @@ class TestCavity:
         assert np.abs(ui - gu).max() < 0.02
         # incompressibility: no runaway pressure
         assert np.isfinite(dom.workpieces[wp].mesh.fields["p"]).all()
+
+    def test_re1000_iterative_vs_ghia(self):
+        """High-Re validation through the TPU-native iterative stack
+        (right-Jacobi BiCGStab(l) on the saddle-point u-p system — the
+        same solve class the reference uses, 2D_Script.jl:102-105; no
+        host LU anywhere).  Bar: max centerline error < 0.03 vs Ghia
+        (the example's 40x40 run measures 0.008 at Re 1000 and 0.015 at
+        Re 3200 — a 24x24 mesh keeps the suite fast at 0.014)."""
+        dom, geo, wp, params = cavity_2d.build(e_number=24)
+        u_st = cavity_2d.run_re(dom, wp, 1000, params,
+                                solver="bicgstabl")
+        ys, us = cavity_2d.centerline_u(dom, wp, u_st, params)
+        gy, gu = cavity_2d.ghia(1000)
+        ui = np.interp(gy, ys, us)
+        assert np.abs(ui - gu).max() < 0.03
+        assert np.isfinite(dom.workpieces[wp].mesh.fields["p"]).all()

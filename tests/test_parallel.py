@@ -1,12 +1,17 @@
 """Multi-device sharding on the virtual 8-device CPU mesh: element-axis
-data-parallel assembly must reproduce single-device results exactly."""
+data-parallel assembly must reproduce single-device results exactly, and
+the row-sharded solver layout (parallel/rowshard.py) must match the
+replicated path while actually landing K and the Krylov vectors on
+row-block shards (collectives visible in the compiled module)."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 import metafem as mf
 from metafem import Bilinear
+from metafem.linsolve import krylov
 from metafem.parallel import shard_domain_state
 from metafem.parallel.dataparallel import make_mesh
 from metafem.solver.domain import FEM_Domain
@@ -67,6 +72,80 @@ class TestElementSharding:
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(KL1), np.asarray(KL0),
                                    rtol=1e-12, atol=1e-12)
+
+    def test_rowshard_step_matches_and_shards(self):
+        """Row-sharded K + sharded-Krylov layout at >=100k DOF: the full
+        jitted Newton step over the 8-device mesh must (a) reproduce the
+        single-device solution and (b) compile to a genuinely partitioned
+        module (cross-device collectives present), with the assembled K
+        landing on storage shards rather than replicated."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        # ~108k DOF: (280, 128) order-2 serendipity thermal strip
+        L1, L2 = 0.02, 0.01
+        vert, conn = mf.make_square((L1, L2), (280, 128))
+        geo = mf.construct_total_mesh(vert, conn)
+        dom = FEM_Domain(2)
+        wp = dom.add_workpiece(geo)
+        eps = 1e-9
+        ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
+                                | (c[:, 0] > L1 - eps))
+        bg = dom.add_boundary(wp, ends)
+        T = dom.internal_var("T")
+        s = dom.external_var("s", "CONTROLPOINT_VAR")
+        n = dom.sym("n")
+        i = mf.index("i")
+        dom.assign_workpiece_weakform(
+            wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
+        dom.assign_boundary_weakform(
+            wp, bg, 1000.0 * Bilinear(T, 1173.15 - T)
+            + 3.0 * Bilinear(T, n[i] * T.d(i))
+            + 0.7 * 5.669e-8 * Bilinear(T, 323.15 ** 4 - T ** 4))
+        dom.initialize_local_assembly(explicit_max_sd_order=1)
+        dom.mesh_classical(itp_order=2, itg_order=5,
+                           itp_type="Serendipity")
+        dom.assemble_global_variables()
+        dom.compile()
+        mesh0 = dom.workpieces[wp].mesh
+        assert dom.pattern.basicfield_size >= 100_000
+        rng = np.random.default_rng(1)
+        dom.set_field(wp, "T", 300 + 10 * rng.random(mesh0.n_cp))
+        dom.set_field(wp, "s", rng.random(mesh0.n_cp))
+        dom.refresh_fields()
+        dom.assemble_x()
+        dom.converge_tol = 1e-9
+
+        mesh = make_mesh(min(8, len(jax.devices())))
+        state = dom._runtime_state()
+        sharded = shard_domain_state(state, mesh)
+
+        step_sh = dom.make_jitted_step(
+            sv_func=krylov.bicgstab, maxiter=4000, max_newton=4,
+            max_pass=2, rowshard_mesh=mesh)
+        x_rep = jax.device_put(dom.x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
+
+        # (b): the compiled module must be partitioned — cross-device
+        # collectives present (reduce-scatter/all-reduce for the K
+        # shards and the psum'd Krylov dots)
+        txt = step_sh.lower(*args).compile().as_text()
+        assert any(c in txt for c in
+                   ("reduce-scatter", "all-reduce", "all-gather")), (
+            "no collectives in the compiled step — layout replicated?")
+
+        x_sh, _, res_sh, _ = step_sh(*args)
+        assert float(res_sh) < 1e-9
+
+        step0 = dom.make_jitted_step(
+            sv_func=krylov.bicgstab, maxiter=4000, max_newton=4,
+            max_pass=2)
+        x0, _, res0, _ = step0(state, dom.x, jnp.float64(0.0),
+                               jnp.float64(1.0))
+        assert float(res0) < 1e-9
+        scale = np.abs(np.asarray(x0)).max()
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x0),
+                                   atol=1e-8 * scale)
 
     def test_sharding_layout(self, thermal_dom):
         if len(jax.devices()) < 2:

@@ -23,7 +23,7 @@ DX, CB = 0.02, 128
 UM = 0.45
 
 
-def build():
+def build(itp_order=2, itg_order=6):
     vert, conn = mf.read_mesh(MESH_PATH)
     geo = mf.construct_total_mesh(vert, conn)
     dom = FEM_Domain(3)
@@ -76,7 +76,7 @@ def build():
     dom.assign_boundary_weakform(wp, bg_out, bdy_base + bdy_out)
     dom.assign_boundary_weakform(wp, bg_fix, bdy_base + bdy_fix)
     dom.initialize_local_assembly(explicit_max_sd_order=1)
-    dom.mesh_classical(itp_order=2, itg_order=6)
+    dom.mesh_classical(itp_order=itp_order, itg_order=itg_order)
     dom.assemble_global_variables()
     dom.compile()
     dom.converge_tol = 1e-6

@@ -129,27 +129,43 @@ def galerkin_stencil(A_scipy, cell_flat: np.ndarray, w: np.ndarray,
 
     ci, cj = Ac.row // n_lat, Ac.col // n_lat
     li, lj = Ac.row % n_lat, Ac.col % n_lat
-    ki = np.stack(np.unravel_index(li, aux_shape), 1)
-    kj = np.stack(np.unravel_index(lj, aux_shape), 1)
-    k = kj - ki                                         # exact, no alias
-    keep = (np.abs(k) <= radius).all(axis=1)
+    # Per-axis lattice displacements by integer arithmetic on the flat
+    # ids (vectorized; materializing [nnz, dim] coordinate stacks and a
+    # per-entry Python offset lookup measured ~80 s at 30M entries).
+    n_off = (2 * radius + 1) ** dim
+    oi = np.zeros(li.shape, np.int64)        # flat offset index
+    keep = np.ones(li.shape, bool)
+    ldiv_i, ldiv_j = li, lj
+    k_rev = []
+    for s in reversed(aux_shape):
+        k_rev.append(ldiv_j % s - ldiv_i % s)
+        ldiv_i, ldiv_j = ldiv_i // s, ldiv_j // s
+    for ka in reversed(k_rev):               # axis 0 first (slowest)
+        keep &= np.abs(ka) <= radius
+        oi = oi * (2 * radius + 1) + np.clip(ka + radius, 0,
+                                             2 * radius)
     dropped = 1.0 - (np.abs(Ac.data[keep]).sum()
                      / max(np.abs(Ac.data).sum(), 1e-300))
 
     offsets = list(itertools.product(range(-radius, radius + 1),
                                      repeat=dim))
-    off_index = {o: i for i, o in enumerate(offsets)}
-    oi = np.asarray([off_index[tuple(kk)] for kk in k[keep]])
-    coefs = np.zeros((len(offsets), channels, channels, n_lat))
-    np.add.at(coefs, (oi, ci[keep], cj[keep], li[keep]), Ac.data[keep])
+    assert len(offsets) == n_off
+    # scatter-add via bincount on the composite flat index (np.add.at
+    # measured ~10x slower at this size)
+    lin = (((oi[keep] * channels + ci[keep]) * channels + cj[keep])
+           * n_lat + li[keep])
+    coefs = np.bincount(
+        lin, weights=Ac.data[keep],
+        minlength=n_off * channels * channels * n_lat).reshape(
+            n_off, channels, channels, n_lat)
 
     # occupancy: aux points receiving any interpolation weight
     occupied = np.zeros(n_lat, dtype=bool)
-    np.logical_or.at(occupied, cols, w.reshape(-1) != 0.0)
+    occupied[np.unique(cols[w.reshape(-1) != 0.0])] = True
     # ghost slots: typical-magnitude diagonal of the PDE's sign so the
     # smoother calibration and Jacobi stay sane; masked transfers keep
     # them out of the correction entirely
-    i0 = off_index[(0,) * dim]
+    i0 = (n_off - 1) // 2          # the all-zero (diagonal) offset
     diag_occ = coefs[i0, np.arange(channels)[:, None],
                      np.arange(channels)[:, None], occupied]
     dmed = np.median(np.abs(diag_occ)) or 1.0

@@ -1,0 +1,100 @@
+"""At-scale unstructured thermal solve: the reference's flagship pikachu
+tet mesh (docs/src/examples/src/pikachu/pikachu.jl) uniformly refined
+toward/past 1M DOF, solved with the TPU production path —
+
+  host-side freezes (affine operator, linear tangent, aux-space MG)
+  + df32 refined Newton step with the frozen aux-lattice V-cycle.
+
+Volume assembly never runs on the device: the refined step consumes the
+frozen A_td/b SpMVs plus boundary-only nonaffine phases, so the
+unstructured volume gather maps (GBs at this scale) stay on the host.
+
+Usage: python benchmarks/pikachu_scale.py [refine] [tol]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "examples"))
+
+import jax
+import jax.numpy as jnp
+
+import pikachu_3d
+from metafem.linsolve import krylov, twofloat as tf
+
+
+def main(refine=2, tol=1e-6):
+    t0 = time.perf_counter()
+
+    def tick(msg):
+        nonlocal t0
+        print(f"[pikachu] {msg}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+
+    print("backend:", jax.default_backend(), flush=True)
+    dom, geo, mesh = pikachu_3d.build(itp_order=2, itg_order=5,
+                                      refine=refine, dtype=jnp.float32)
+    n = dom.pattern.basicfield_size
+    print(f"n_cp = {mesh.n_cp}  n_dof = {n}", flush=True)
+    tick("build")
+    dom.converge_tol = tol
+
+    dom.freeze_linear_tangent()
+    tick("freeze_linear_tangent")
+    dom.freeze_refined_residual()
+    tick("freeze_refined_residual")
+    dom.setup_auxmg(verbose=True)
+    tick("setup_auxmg")
+
+    step = dom.make_refined_step(sv_func=krylov.bicgstab, precond="auxmg",
+                                 maxiter=60, max_refine=12, max_pass=1)
+    state = dom._runtime_state()
+    x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
+
+    def run(eps):
+        x1 = tf.DF(x0.hi * np.float32(1.0 + eps), x0.lo)
+        jax.block_until_ready(x1)
+        t1 = time.perf_counter()
+        x_new, dx, res, it = step(state, x1, jnp.float64(0.0),
+                                  jnp.float64(1.0))
+        r = float(res)
+        return time.perf_counter() - t1, r, int(it), x_new
+
+    dt, r, it, x_new = run(0.0)
+    tick(f"step compile+run (res={r:.2e}, iters={it})")
+    times = []
+    for k in range(3):
+        dt, r, it, x_new = run(1e-4 * (k + 1))
+        times.append(dt)
+        print(f"[pikachu] warm step {dt*1e3:.0f} ms  res={r:.2e} "
+              f"iters={it}", flush=True)
+
+    # COMSOL line sanity on the converged solution
+    dom.x = tf.df_to_f64(x_new)
+    dom.dessemble_x()
+    from metafem.mesh.probe import probe_field
+    et = dom.workpieces[0].disc.element_type
+    errs = {}
+    for label, (arc, temp, pts) in zip("ab", pikachu_3d.comsol_lines()):
+        got = probe_field(geo, mesh, et, "T", pts)
+        ok = ~np.isnan(got)
+        errs[label] = float(np.abs(got[ok] - temp[ok]).max())
+        print(f"[pikachu] COMSOL line {label}: max |dT| = "
+              f"{errs[label]:.3f} K over {int(ok.sum())} pts", flush=True)
+
+    print(json.dumps({"n_dof": n, "refine": refine,
+                      "step_ms": float(np.median(times)) * 1e3,
+                      "residual": r, "iters": it,
+                      "comsol_max_dT": errs}))
+
+
+if __name__ == "__main__":
+    main(refine=int(sys.argv[1]) if len(sys.argv) > 1 else 2,
+         tol=float(sys.argv[2]) if len(sys.argv) > 2 else 1e-6)

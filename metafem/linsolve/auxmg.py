@@ -232,8 +232,10 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
     lat_state = jax.device_put(jax.tree_util.tree_map(
         lambda x: x.astype(domain.dtype), lat_state))
 
-    # fine-level damped-Jacobi calibration on the true operator
-    A_dev = OffsetMatrix.from_values(jnp.asarray(K_total), layout)
+    # fine-level damped-Jacobi calibration on the true operator (in the
+    # domain dtype on the compute device; K_total may arrive as host f64)
+    A_dev = OffsetMatrix.from_values(
+        jnp.asarray(np.asarray(K_total), domain.dtype), layout)
     invd = _safe_inv(A_dev.diag())
 
     @jax.jit

@@ -294,10 +294,11 @@ class FEM_Domain:
         """Build the host-side reduction maps for one assembly phase
         (see assembly._phase_parts for the phase vocabulary): lattice
         fast-interleave streams where the slot columns are affine in the
-        lattice index, padded gather maps (device arrays) for the rest.
-        Idempotent; called for 'lin'/'nl' at compile() and lazily for the
-        refined-residual phases (freeze_refined_residual)."""
-        if phase_key in self._device_maps:
+        lattice index, gather maps for the rest (host arrays here;
+        uploaded on demand by _ensure_device_maps).  Idempotent; called
+        for 'lin'/'nl' at compile() and lazily for the refined-residual
+        phases (freeze_refined_residual)."""
+        if phase_key in getattr(self, "_host_maps", {}):
             return
         from .assembly import collect_phase_streams
         from .lattice_reduce import fit_stream_columns
@@ -364,7 +365,19 @@ class FEM_Domain:
         if not hasattr(self, "_host_maps"):
             self._host_maps = {}
         self._host_maps[phase_key] = host
-        self._device_maps[phase_key] = _maps_entry(host)
+
+    def _ensure_device_maps(self, *phases) -> None:
+        """Upload the host reduction maps of the given phases to the
+        compute device (idempotent).  Uploads are deferred to the entry
+        points that actually assemble on device: setup-only flows (the
+        host-side freezes) and unstructured-mesh production steps (whose
+        refined path never assembles volumes on device) then never ship
+        the multi-GB volume gather maps through the transport or hold
+        them in HBM."""
+        for ph in phases:
+            self._build_phase_maps(ph)
+            if ph not in self._device_maps:
+                self._device_maps[ph] = _maps_entry(self._host_maps[ph])
 
     def _ghost_diag_vector(self):
         """Unit-diagonal regularizer for ghost (unoccupied lattice) DOF
@@ -485,7 +498,51 @@ class FEM_Domain:
     def set_field(self, wp_id: int, name: str, values) -> None:
         self.workpieces[wp_id].mesh.set_field(name, values)
 
-    def freeze_linear_tangent(self) -> None:
+    def _host_phase_state(self, dtype=jnp.float64) -> dict:
+        """Runtime-state pytree rebuilt from HOST sources on the CPU
+        backend, for one-time setup assemblies (freezes).  Callers must
+        run the phases INSIDE a ``jax.default_device(cpu)`` scope (see
+        freeze_refined_residual's note on uncommitted arrays)."""
+        cpu = jax.devices("cpu")[0]
+        ga = self.time_discretization
+        st_wp = self._geometry_state(dtype, device=cpu)
+        with jax.default_device(cpu):
+            for i, wp in enumerate(self.workpieces):
+                st_wp[i]["fields"] = {
+                    name: jnp.asarray(np.asarray(col), dtype)
+                    for name, col in wp.mesh.fields.items()}
+            ghost = getattr(self, "_ghost_diag", None)
+            return {
+                "wp": st_wp,
+                "maps": {ph: _maps_entry(self._host_maps[ph])
+                         for ph in self._host_maps},
+                "ghost_diag": (jnp.asarray(np.asarray(ghost), dtype)
+                               if ghost is not None else None),
+                "x_star": jnp.asarray(np.asarray(self.x), dtype),
+                "t": jnp.asarray(self.t, dtype),
+                "dt": jnp.asarray(self.dt or 1.0, dtype),
+                "K_params": jnp.asarray(np.asarray(ga.K_params), dtype),
+                "global_vars": {k: float(v)
+                                for k, v in self.global_vars.items()},
+                "user": jax.device_put(jax.tree_util.tree_map(
+                    jnp.asarray, self.user_state), cpu)}
+
+    def _host_tangent(self) -> np.ndarray:
+        """Assemble the tangent at the current x ON THE HOST in f64
+        (K_linear + nonlinear blocks): one-time setup cost that never
+        ships the volume gather maps to the device — at 1M+ DOF on an
+        unstructured mesh those are multi-GB."""
+        for ph in ("lin", "nl"):
+            self._build_phase_maps(ph)
+        cpu = jax.devices("cpu")[0]
+        run = jax.jit(self._run_phase, static_argnums=1)
+        with jax.default_device(cpu):
+            st = self._host_phase_state(jnp.float64)
+            _, K_lin = run(st, "lin")
+            _, K_nl = run(st, "nl")
+            return np.asarray(K_lin) + np.asarray(K_nl)
+
+    def freeze_linear_tangent(self, on_host: bool = None) -> None:
         """Precompute the per-time-level linear tangent components
         G_td (x-independent), so jitted steps built with
         ``static_k_linear=True`` combine them as sum(K_params[td]*G_td)
@@ -493,11 +550,37 @@ class FEM_Domain:
 
         Valid while geometry, controlpoint fields, and global material
         constants stay fixed (the linear coefficients may not reference
-        t/dt).  Call again after changing any of those."""
+        t/dt).  Call again after changing any of those.
+
+        ``on_host``: assemble the components on the CPU backend instead
+        of the compute device (default: auto — on for unstructured
+        meshes, whose volume gather maps are too large to ship)."""
         L = self.pattern.max_time_level
-        state = self._runtime_state()
+        if on_host is None:
+            on_host = any(wp.mesh.lattice_shape is None
+                          for wp in self.workpieces)
         ghost = getattr(self, "_ghost_diag", None)
         comps = []
+        if on_host:
+            self._build_phase_maps("lin")
+            cpu = jax.devices("cpu")[0]
+            run = jax.jit(self._run_phase, static_argnums=1)
+            with jax.default_device(cpu):
+                st = self._host_phase_state(jnp.float64)
+                for td in range(L + 1):
+                    one_hot = np.zeros(L + 1)
+                    one_hot[td] = 1.0
+                    st["K_params"] = jnp.asarray(one_hot, jnp.float64)
+                    G = np.asarray(run(st, "lin")[1])
+                    comps.append(jnp.asarray(G, self.dtype))
+            # ghost handling matches the device path: the host 'lin'
+            # run adds ghost_diag once per td when present
+            if ghost is not None:
+                comps = [c - ghost for c in comps]
+            self._k_linear_td = jnp.stack(comps)
+            return
+        self._ensure_device_maps("lin")
+        state = self._runtime_state()
         for td in range(L + 1):
             one_hot = np.zeros(L + 1)
             one_hot[td] = 1.0
@@ -642,6 +725,7 @@ class FEM_Domain:
         hier = multigrid.hierarchy_for_domain(self, **mg_opts)
         ga = self.time_discretization
         ga.update_time(self.dt or 1.0, self.pattern.max_time_level)
+        self._ensure_device_maps("lin", "nl")
         state = self._runtime_state()
         state["K_linear"] = self._k_linear(state)
         state["x_star"] = self.x
@@ -660,11 +744,10 @@ class FEM_Domain:
         from ..linsolve import auxmg
         ga = self.time_discretization
         ga.update_time(self.dt or 1.0, self.pattern.max_time_level)
-        state = self._runtime_state()
-        state["K_linear"] = self._k_linear(state)
-        state["x_star"] = self.x
-        _, K_total = self._res_k(state)
-        self._auxmg = auxmg.setup(self, K_total, **opts)
+        # tangent assembled on the HOST (f64): the aux Galerkin build
+        # consumes it on the host anyway, and this keeps the unstructured
+        # volume gather maps (GBs at 1M+ DOF) off the device entirely
+        self._auxmg = auxmg.setup(self, self._host_tangent(), **opts)
 
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
@@ -697,6 +780,7 @@ class FEM_Domain:
         L = self.pattern.max_time_level
         self.t += self.dt
         ga.update_time(self.dt, L)
+        self._ensure_device_maps("lin", "nl")
         state = self._runtime_state()
         dx = initialize_dx(self.x, self.dt, ga.gamma_params)
         K_linear = self._k_linear(state)

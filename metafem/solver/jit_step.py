@@ -75,6 +75,7 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     tol = float(domain.converge_tol)
     L = pattern.max_time_level
     diag_pos = None  # OffsetMatrix.diag() is position-free
+    domain._ensure_device_maps("lin", "nl")
     res_k = domain._res_k.__wrapped__
     k_linear = domain._k_linear.__wrapped__
     sqrt_n = np.sqrt(pattern.basicfield_size)
@@ -252,6 +253,11 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                          else "df32")
     if residual_mode not in ("f64", "df32"):
         raise ValueError(f"unknown residual_mode {residual_mode!r}")
+    # only the nonaffine phases assemble on device in this step — the
+    # volume 'lin'/'nl' maps stay host-side (GBs on unstructured meshes)
+    domain._ensure_device_maps(
+        *(("nonaff_nl",) if residual_mode == "f64"
+          else ("nonaff_res", "nl_grad")))
     pattern = domain.pattern
     ga = domain.time_discretization
     gamma = tuple(ga.gamma_params)

@@ -53,7 +53,14 @@ def main(refine=2, tol=1e-6):
     dom.setup_auxmg(verbose=True)
     tick("setup_auxmg")
 
-    step = dom.make_refined_step(sv_func=krylov.bicgstab, precond="auxmg",
+    # the pikachu weak form is fully affine (conduction + convection
+    # BC), so the tangent never drifts from the tuned one — Chebyshev
+    # inner solves (zero inner products) are safe and fastest; fall back
+    # to bicgstab if the tuner rejected the spectrum
+    sv = (krylov.chebyshev if getattr(dom, "_auxmg_cheb", None)
+          else krylov.bicgstab)
+    print(f"[pikachu] inner solver: {sv.__name__}", flush=True)
+    step = dom.make_refined_step(sv_func=sv, precond="auxmg",
                                  maxiter=60, max_refine=12, max_pass=1)
     state = dom._runtime_state()
     x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))

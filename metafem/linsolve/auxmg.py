@@ -260,6 +260,17 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
     tree = {"cell": jnp.asarray(cell_flat.astype(np.int32)),
             "w": jnp.asarray(w, domain.dtype),
             "inv_diag": invd, "omega": omega, "lat": lat_state}
+    # preconditioned-spectrum estimate + tuned Chebyshev enclosure
+    op = AuxMGOperator(A_dev, tree, hier, desc)
+    nb = pattern.basicfield_size
+    domain._auxmg_spectrum = multigrid.estimate_spectrum(
+        op, nb, domain.dtype)
+    domain._auxmg_cheb = multigrid.tune_chebyshev(
+        op, nb, domain.dtype, domain._auxmg_spectrum)
+    if verbose:
+        lo, hi = domain._auxmg_spectrum
+        print(f"[auxmg] precond spectrum ~ [{lo:.3f}, {hi:.3f}], "
+              f"cheb {domain._auxmg_cheb}", flush=True)
     return tree, (desc, hier)
 
 

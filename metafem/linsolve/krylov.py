@@ -144,6 +144,49 @@ def cg(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None):
 
 
 # ---------------------------------------------------------------------------
+# Chebyshev (TPU addition — not in the reference menu)
+# ---------------------------------------------------------------------------
+
+def chebyshev(A: SparseMatrix, b, x0=None, tol=None, maxiter=8, pl=None,
+              interval=(0.05, 1.95)):
+    """Preconditioned Chebyshev iteration (Saad, Iterative Methods,
+    Alg. 12.1) on a spectrum enclosure ``interval`` of A (pass the
+    MG-composed operator: spectrum of A·M ⊂ [1-rho, 1+rho] where rho is
+    the V-cycle contraction — multigrid.estimate_precond_rho).
+
+    The TPU-native inner solver for SPD-preconditioned systems: ZERO
+    inner products — each iteration is one operator apply plus two
+    axpys, a fixed-trip fori_loop with no host-visible recurrence state.
+    A Krylov method's dots serialize the pipeline every iteration and
+    dominate once the matvec is fast; Chebyshev replaces adaptivity with
+    an a-priori spectrum bound, and the caller (e.g. the refined Newton
+    loop, jit_step.py) measures TRUE residuals outside, so a stale bound
+    degrades the convergence RATE, never the answer.  ``tol`` is ignored
+    (fixed trip count — pick ``maxiter`` from the bound:
+    iters = ln(reduction) / ln(rho_cheb)); the signature matches the
+    solver menu so it drops into every precond='mg'/'auxmg' path."""
+    lo, hi = interval
+    theta = jnp.asarray((hi + lo) / 2.0, b.dtype)
+    delta = jnp.asarray((hi - lo) / 2.0, b.dtype)
+    sigma1 = theta / delta
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = _pl(pl, b - A.mv(x)) if x0 is not None else _pl(pl, b)
+    d = r / theta
+    rho0 = 1.0 / sigma1
+
+    def body(_, c):
+        x, r, d, rho_prev = c
+        x = x + d
+        r = r - _pl(pl, A.mv(d))
+        rho_k = 1.0 / (2.0 * sigma1 - rho_prev)
+        d = (rho_k * rho_prev) * d + (2.0 * rho_k / delta) * r
+        return x, r, d, rho_k
+
+    x, r, _, _ = jax.lax.fori_loop(0, maxiter, body, (x, r, d, rho0))
+    return x, jnp.asarray(maxiter, jnp.int32), _nn(r)
+
+
+# ---------------------------------------------------------------------------
 # BiCGStab / BiCGStab(l)
 # ---------------------------------------------------------------------------
 

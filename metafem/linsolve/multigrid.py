@@ -619,3 +619,89 @@ class MGOperator:
 
     def apply_m(self, y: jnp.ndarray) -> jnp.ndarray:
         return vcycle(self.hier, self.state, y)
+
+
+def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
+                      seed: int = 11) -> tuple:
+    """(lam_min, lam_max) estimate for the MG-preconditioned operator
+    A·M by two power iterations: lam_max directly, lam_min through the
+    shifted operator s·I - A·M (s slightly above lam_max).  One-time
+    setup cost (~2*n_iter operator applies); Chebyshev inner solves
+    (krylov.chebyshev) take this as their spectrum enclosure.  A single
+    symmetric bound [1-rho, 1+rho] from the error-operator radius is NOT
+    enough: penalty boundary rows leave isolated outlier eigenvalues
+    (measured radius 1.18 on a clean 2D thermal lattice), and an
+    enclosure containing 0 diverges Chebyshev — the edges must be
+    measured separately."""
+
+    def power(mv_fn):
+        @jax.jit
+        def run(op):
+            v = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,),
+                                  dtype)
+            v = v / jnp.linalg.norm(v)
+
+            def body(c, _):
+                v, _ = c
+                u = mv_fn(op, v)
+                lam = jnp.linalg.norm(u)
+                # signed Rayleigh-style estimate via the norm + sign of
+                # the overlap (power iteration tracks |lambda|)
+                return (u / jnp.where(lam == 0, 1.0, lam), lam), None
+
+            (v, lam), _ = jax.lax.scan(
+                body, (v, jnp.asarray(0.0, dtype)), None, length=n_iter)
+            return lam
+
+        return float(run(op))
+
+    lam_max = power(lambda op, v: op.mv(v))
+    s = 1.05 * lam_max
+    lam_min = s - power(lambda op, v: s * v - op.mv(v))
+    return lam_min, lam_max
+
+
+def tune_chebyshev(op, n_dof: int, dtype, spectrum,
+                   n_iter: int = 16, seed: int = 5):
+    """(interval, measured_rate) for Chebyshev inner solves on A·M.
+
+    Power-iteration edge estimates are systematically optimistic when
+    the preconditioned modes cluster: a true eigenvalue BELOW the
+    estimated lower edge sits where the Chebyshev polynomial grows, so
+    the trial solve first contracts at the predicted rate and then
+    saturates (measured: rate 0.71 over 8 iters that stalls at ~0.3
+    reduction per solve).  The fix is empirical: scan a few lower-edge
+    candidates, measure the ACTUAL reduction of an n_iter-trip solve on
+    each (long enough to expose saturation), keep the best."""
+    from .krylov import chebyshev
+    lo0, hi0 = spectrum
+    if not (np.isfinite(lo0) and np.isfinite(hi0) and lo0 > 0
+            and hi0 > 0):
+        return None
+    hi_m = 1.05 * hi0
+
+    def measure(interval):
+        @jax.jit
+        def run(op):
+            b = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,),
+                                  dtype)
+            _, _, res = chebyshev(op, b, maxiter=n_iter,
+                                  interval=interval)
+            return res / (jnp.linalg.norm(b) / np.sqrt(n_dof))
+
+        red = float(run(op))
+        if not np.isfinite(red) or red <= 0:
+            return None
+        return float(min(red, 1.0) ** (1.0 / n_iter))
+
+    best = None
+    for f in (1.0, 0.4, 0.15, 0.05):
+        lo_m = 0.9 * lo0 * f
+        if lo_m <= 1e-3 * hi_m:
+            continue
+        rate = measure((lo_m, hi_m))
+        if rate is not None and (best is None or rate < best[1]):
+            best = ((lo_m, hi_m), rate)
+    if best is None or best[1] > 0.93:
+        return None
+    return best

@@ -728,12 +728,24 @@ class FEM_Domain:
         self._ensure_device_maps("lin", "nl")
         state = self._runtime_state()
         state["K_linear"] = self._k_linear(state)
-        state["x_star"] = self.x
+        # keep everything in the DOMAIN dtype: self.x is carried in f64
+        # between steps, and letting it promote the tangent here froze
+        # an f64 V-cycle state into the f32 production step — emulated
+        # f64 on TPU, measured 25x off the V-cycle bandwidth roofline
+        state["x_star"] = jnp.asarray(self.x, self.dtype)
         _, K_total = self._res_k(state)
+        K_total = K_total.astype(self.dtype)
         A = OffsetMatrix.from_values(K_total, self.pattern.offset_layout)
         mask = multigrid.mask_for_domain(self)
         self._mg_frozen = jax.jit(
             lambda A, m: multigrid.mg_setup(hier, A, m))(A, mask)
+        # preconditioned-spectrum estimate + tuned Chebyshev enclosure
+        # (interval, measured rate) for Chebyshev inner solves
+        op = multigrid.MGOperator(A, self._mg_frozen, hier)
+        n = self.pattern.basicfield_size
+        self._mg_spectrum = multigrid.estimate_spectrum(op, n, self.dtype)
+        self._mg_cheb = multigrid.tune_chebyshev(
+            op, n, self.dtype, self._mg_spectrum)
 
     def setup_auxmg(self, **opts) -> None:
         """Freeze the auxiliary-space multigrid preconditioner (for

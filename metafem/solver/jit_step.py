@@ -286,6 +286,30 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
 
+    if sv_func is krylov.chebyshev:
+        # Static Chebyshev trip count and spectrum enclosure from the
+        # measured preconditioned spectrum (setup_mg / setup_auxmg).
+        # The outer loop measures TRUE residuals, so a drifting bound
+        # only slows convergence — it cannot corrupt the answer.
+        if precond == "mg":
+            tuned = getattr(domain, "_mg_cheb", None)
+        elif precond == "auxmg":
+            tuned = getattr(domain, "_auxmg_cheb", None)
+        else:
+            raise ValueError("chebyshev inner solves need an MG "
+                             "preconditioner (precond='mg'/'auxmg')")
+        if tuned is None:
+            raise RuntimeError(
+                "chebyshev inner solves need the tuned enclosure from "
+                "setup_mg()/setup_auxmg() — None there means Chebyshev "
+                "can't contract this operator; use a Krylov sv_func")
+        interval, rate = tuned
+        # trip count from the MEASURED rate (spectrum-edge predictions
+        # are optimistic when the preconditioned modes cluster)
+        n_cheb = int(np.ceil(np.log(forcing / 2.0) / np.log(rate)))
+        maxiter = int(np.clip(n_cheb, 2, maxiter))
+        sv_kwargs = {**sv_kwargs, "interval": interval}
+
     def combine_klin(state, K_params_s):
         # explicit per-level scalar*vector adds: an einsum("t,ts->s")
         # over the [L+1, n_storage] stack measured 28 ms at 27M storage
@@ -311,11 +335,12 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 tree = {**state["auxmg_tree"],
                         "inv_diag": _safe_inv(A.diag())}
                 op = _auxmg.AuxMGOperator(A, tree, hier, desc)
+            r0 = rr
             for _ in range(max_pass):
                 y_i, _, _ = sv_func(op, rr, tol=tol_i, maxiter=maxiter,
                                     **sv_kwargs)
                 delta = delta + op.apply_m(y_i)
-                rr = rr - A.mv(delta)
+                rr = r0 - A.mv(delta)
         else:
             As, unscale = pr_jacobi(A, None)
             r0 = rr

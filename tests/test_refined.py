@@ -140,6 +140,48 @@ def test_refined_step_converges_below_f32_floor():
                                atol=1e-10 * scale)
 
 
+def test_refined_step_chebyshev():
+    """Chebyshev inner solves (zero inner products; static trip count
+    from the tuned preconditioned spectrum) must reach the same deep
+    residuals as the Krylov inner solves and the same solution.  This is
+    the TPU production configuration for STEPPING — a Krylov method's
+    dots serialize every iteration, Chebyshev is pure matvec+axpy.
+
+    The production pattern: converge once (adaptive Krylov handles the
+    large tangent drift of the radiating boundary), re-tune the MG
+    spectrum at the converged state, then Chebyshev-step around it —
+    the fixed enclosure is only valid while the tangent stays near the
+    tuned one (exact for affine problems; transient stepping here)."""
+    dom = _radiating_thermal()
+    dom.converge_tol = 1e-11
+    dom.freeze_linear_tangent()
+    dom.setup_mg()
+    dom.freeze_refined_residual()
+    lo, hi = dom._mg_spectrum
+    assert 0 < lo < hi                        # measured, not defaulted
+
+    step_b = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                   max_refine=12)
+    x_c, _, res_c, _ = step_b(dom._runtime_state(), dom.x,
+                              jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res_c) < 1e-11
+
+    dom.x = x_c
+    dom.setup_mg()                 # re-tune at the converged tangent
+    step = dom.make_refined_step(sv_func=krylov.chebyshev, maxiter=40,
+                                 max_refine=14)
+    x_new, dx, res, it = step(dom._runtime_state(), x_c * 1.001,
+                              jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res) < 1e-11, float(res)
+
+    x2, _, res2, _ = step_b(dom._runtime_state(), x_c * 1.001,
+                            jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res2) < 1e-11
+    scale = np.abs(np.asarray(x2)).max()
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x2),
+                               atol=1e-10 * scale)
+
+
 def test_refined_step_df32_mode():
     """The two-float (df32) residual mode — the TPU production path —
     must converge far below the f32 floor from an f32 domain and match

@@ -84,6 +84,8 @@ def main(refine=2, tol=1e-6):
               f"iters={it}", flush=True)
 
     # COMSOL line sanity on the converged solution
+    if not isinstance(x_new, tf.DF):   # f64 residual mode (CPU)
+        x_new = tf.df_from_f64(x_new)
     dom.x = tf.df_to_f64(x_new)
     dom.dessemble_x()
     from metafem.mesh.probe import probe_field

@@ -78,7 +78,13 @@ def build_offset_layout(wp_metas, nnz: int,
     fused op; hundreds of tiny segments explode compile time), so blocks
     with n_cp < dense_min_n use the COO tail except for the diagonal,
     and the offset count is capped at max_dense_offsets."""
-    storage_of_slot = np.full(nnz, -1, dtype=np.int64)
+    # storage indices fit int32 whenever the (over)estimated dense part
+    # + tail do — halves the big first-touch allocations on this
+    # page-fault-bound host
+    est_dense = sum(len(m["units"]) * (max_dense_offsets + 1) * m["n_cp"]
+                    for m in wp_metas)
+    sdtype = np.int32 if nnz + est_dense < 2 ** 31 - 1 else np.int64
+    storage_of_slot = np.full(nnz, -1, dtype=sdtype)
     segments: List[Segment] = []
     pallas_groups: List[PallasGroup] = []
     coo_rows_parts, coo_cols_parts, coo_slot_parts = [], [], []
@@ -89,10 +95,16 @@ def build_offset_layout(wp_metas, nnz: int,
         n_cp = m["n_cp"]
         n = max(n, m["dof_offset"] + m["n_vars"] * n_cp)
         ci, cj = m["ci"], m["cj"]
-        d_all = cj.astype(np.int64) - ci.astype(np.int64)
-        # offset histogram by bincount on d+n_cp (O(n); np.unique's sort
-        # measured ~10 s at the 116M-pair scale of a 176k-cp tet mesh)
-        hist = np.bincount(d_all + n_cp, minlength=2 * n_cp + 1)
+        # shifted offsets d + n_cp, in the narrowest dtype (one temp)
+        if ci.dtype == np.int32 and 2 * n_cp < 2 ** 31 - 1:
+            dsh = cj - ci
+            dsh += np.int32(n_cp)
+        else:
+            dsh = cj.astype(np.int64) - ci
+            dsh += n_cp
+        # offset histogram by bincount (O(n); np.unique's sort measured
+        # ~10 s at the 116M-pair scale of a 176k-cp tet mesh)
+        hist = np.bincount(dsh, minlength=2 * n_cp + 1)
         offs = np.nonzero(hist)[0]
         counts = hist[offs]
         offs = offs - n_cp
@@ -117,11 +129,21 @@ def build_offset_layout(wp_metas, nnz: int,
         dense_set = {d: k for k, d in enumerate(sorted(dense_offs))}
         # O(1)-lookup table offset -> dense rank (np.isin/searchsorted
         # over the 100M+ raw-pair arrays cost seconds each per unit)
-        rank_lut = np.full(2 * n_cp + 1, -1, np.int64)
+        rank_lut = np.full(2 * n_cp + 1, -1, np.int32)
         for d, kk in dense_set.items():
             rank_lut[d + n_cp] = kk
-        d_rank = rank_lut[d_all + n_cp]
+        d_rank = rank_lut[dsh]
         is_dense = d_rank >= 0
+        # hoisted per-wp selections (the unit loop reuses them; each is
+        # a fresh big array on this page-fault-bound host)
+        ci_dense = ci[is_dense]
+        rk_dense = d_rank[is_dense]
+        any_coo = not is_dense.all()
+        if any_coo:
+            sel = ~is_dense
+            ci_sel, cj_sel = ci[sel], cj[sel]
+            flat_sel = np.flatnonzero(sel)
+        del dsh, d_rank
 
         unit_order = sorted(m["units"].items())
         pallas_groups.append(PallasGroup(
@@ -139,27 +161,28 @@ def build_offset_layout(wp_metas, nnz: int,
                 if pd == pb and d == 0:
                     diag_info.append((row0, n_cp, base))
                 base += n_cp
-            # map this unit's slots (one vectorized pass: offset ->
-            # dense segment base via searchsorted)
+            # map this unit's slots: masked assignment into a VIEW of
+            # storage_of_slot (no slot-id arange materialization)
             slot0 = m["sparse_entry"] + u * m["unitsize"]
-            slots = slot0 + np.arange(ci.size, dtype=np.int64)
+            sos_view = storage_of_slot[slot0:slot0 + ci.size]
             if dense_set:
                 bases = np.asarray(
-                    [u_base[d] for d in sorted(dense_set)])
-                storage_of_slot[slots[is_dense]] = (
-                    bases[d_rank[is_dense]] + ci[is_dense])
-            if (~is_dense).any():
-                sel = ~is_dense
-                coo_rows_parts.append(row0 + ci[sel].astype(np.int64))
-                coo_cols_parts.append(col0 + cj[sel].astype(np.int64))
-                coo_slot_parts.append(slots[sel])
+                    [u_base[d] for d in sorted(dense_set)], sdtype)
+                sos_view[is_dense] = bases[rk_dense] + ci_dense
+            if any_coo:
+                coo_rows_parts.append(row0 + ci_sel)
+                coo_cols_parts.append(col0 + cj_sel)
+                coo_slot_parts.append(slot0 + flat_sel)
 
     n_dense = base
     if coo_rows_parts:
-        coo_rows = np.concatenate(coo_rows_parts).astype(np.int32)
-        coo_cols = np.concatenate(coo_cols_parts).astype(np.int32)
+        coo_rows = np.concatenate(coo_rows_parts).astype(np.int32,
+                                                         copy=False)
+        coo_cols = np.concatenate(coo_cols_parts).astype(np.int32,
+                                                         copy=False)
         coo_slots = np.concatenate(coo_slot_parts)
-        storage_of_slot[coo_slots] = n_dense + np.arange(coo_rows.size)
+        storage_of_slot[coo_slots] = n_dense + np.arange(coo_rows.size,
+                                                         dtype=sdtype)
     else:
         coo_rows = np.zeros(0, np.int32)
         coo_cols = np.zeros(0, np.int32)

@@ -132,14 +132,8 @@ def build_global_pattern(meshes: List[WPMesh],
     wp_metas = []
     sparse_entry = 0
     for mesh, la, info in zip(meshes, assemblies, wp_infos):
-        from ..native import unique_pairs
-        el_cp = mesh.el_cp                                   # [E, na]
-        na = el_cp.shape[1]
-        ci_all = np.repeat(el_cp, na, axis=1).ravel().astype(np.int64)
-        cj_all = np.tile(el_cp, (1, na)).ravel().astype(np.int64)
-        ci, cj, inv = unique_pairs(ci_all, cj_all, mesh.n_cp)
-        info.pair_slot = inv.reshape(
-            (el_cp.shape[0], na, na)).astype(np.int32)
+        from ..native import unique_pairs_elcp
+        ci, cj, info.pair_slot = unique_pairs_elcp(mesh.el_cp, mesh.n_cp)
         info.unitsize = len(ci)
         info.sparse_entry = sparse_entry
         for (dual_pos, base_pos), _u in sorted(la.sparse_mapping.items(),
@@ -169,8 +163,8 @@ def build_global_pattern(meshes: List[WPMesh],
         offset_layout=offset_layout,
         basicfield_size=basicfield_size, max_time_level=max_time_level,
         wp_infos=wp_infos, nnz=nnz,
-        coo_rows=coo_rows.astype(np.int32),
-        coo_cols=coo_cols.astype(np.int32))
+        coo_rows=coo_rows.astype(np.int32, copy=False),
+        coo_cols=coo_cols.astype(np.int32, copy=False))
 
 
 def assemble_x(meshes: List[WPMesh], assemblies: List[LocalAssembly],

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,27 @@ def solver_lu(A: SparseMatrix, b) -> jnp.ndarray:
     from scipy.sparse.linalg import splu
     lu = splu(A.to_scipy().tocsc())
     return jnp.asarray(lu.solve(np.asarray(b)))
+
+
+def solver_qr(A: SparseMatrix, b, max_dense_n: int = 32768) -> jnp.ndarray:
+    """Direct QR solve on the device (solver_QR_GPU,
+    01_Direct_Solver.jl:55-66).
+
+    The reference wraps cusolver's sparse QR; there is no sparse QR on
+    TPU, so this densifies and runs ``jnp.linalg.qr`` on the MXU —
+    exact for singular-pattern-free systems and robust on rank-marginal
+    penalty rows where LU pivoting struggles.  Densification is O(n^2)
+    memory, so it is gated at ``max_dense_n`` (4 GB f64 at the default);
+    beyond that LSQR (krylov.lsqr) is the menu's least-squares path —
+    the same role the reference assigns QR for ill-posed systems."""
+    n = A.n
+    if n > max_dense_n:
+        raise ValueError(
+            f"solver_qr densifies ({n} > max_dense_n={max_dense_n}); "
+            "use krylov.lsqr for large least-squares-style solves")
+    Ad = jnp.asarray(A.to_scipy().toarray(), b.dtype)
+    q, r = jnp.linalg.qr(Ad)
+    return jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
 
 
 def iterative_solve(A: SparseMatrix, b, diag_pos: np.ndarray,

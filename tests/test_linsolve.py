@@ -110,6 +110,27 @@ class TestDriver:
         x = solver_lu(_to_sparse(A), b)
         np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-10)
 
+    def test_direct_qr(self):
+        """Device dense-QR direct solve (solver_QR_GPU parity,
+        01_Direct_Solver.jl:55-66): matches LU on a general system and
+        stays accurate on a penalty-row-dominated one (the QR role in
+        the reference: robustness where pivoted LU loses digits)."""
+        from metafem.linsolve import solver_qr
+        n = 60
+        A = _nonsym(n)
+        x_true = np.random.default_rng(4).normal(size=n)
+        b = jnp.asarray(A @ x_true)
+        x = solver_qr(_to_sparse(A), b)
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-8)
+        # penalty-scaled rows (boundary-condition style, kappa ~ 1e10)
+        P = A.copy()
+        P[:3] *= 1e10
+        bp = jnp.asarray(P @ x_true)
+        xp = solver_qr(_to_sparse(P), bp)
+        np.testing.assert_allclose(np.asarray(xp), x_true, rtol=1e-5)
+        with np.testing.assert_raises(ValueError):
+            solver_qr(_to_sparse(A), b, max_dense_n=10)
+
 
 class TestNeumannPreconditioner:
     def test_reduces_iterations(self):

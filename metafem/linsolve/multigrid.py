@@ -634,30 +634,32 @@ def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
     enclosure containing 0 diverges Chebyshev — the edges must be
     measured separately."""
 
-    def power(mv_fn):
-        @jax.jit
-        def run(op):
-            v = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,),
-                                  dtype)
-            v = v / jnp.linalg.norm(v)
+    # ONE compiled program for both edges: u = alpha*v + beta*A.mv(v)
+    # with (alpha, beta) traced — (0, 1) gives lam_max, (s, -1) the
+    # shifted operator for lam_min.  XLA compiles dominate setup on
+    # this host (each V-cycle program is seconds of backend compile),
+    # so constants that vary between calls must be arguments.
+    @jax.jit
+    def run(op, alpha, beta):
+        v = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,), dtype)
+        v = v / jnp.linalg.norm(v)
 
-            def body(c, _):
-                v, _ = c
-                u = mv_fn(op, v)
-                lam = jnp.linalg.norm(u)
-                # signed Rayleigh-style estimate via the norm + sign of
-                # the overlap (power iteration tracks |lambda|)
-                return (u / jnp.where(lam == 0, 1.0, lam), lam), None
+        def body(c, _):
+            v, _ = c
+            u = alpha * v + beta * op.mv(v)
+            lam = jnp.linalg.norm(u)
+            # power iteration tracks |lambda|
+            return (u / jnp.where(lam == 0, 1.0, lam), lam), None
 
-            (v, lam), _ = jax.lax.scan(
-                body, (v, jnp.asarray(0.0, dtype)), None, length=n_iter)
-            return lam
+        (v, lam), _ = jax.lax.scan(
+            body, (v, jnp.asarray(0.0, dtype)), None, length=n_iter)
+        return lam
 
-        return float(run(op))
-
-    lam_max = power(lambda op, v: op.mv(v))
+    zero = jnp.asarray(0.0, dtype)
+    one = jnp.asarray(1.0, dtype)
+    lam_max = float(run(op, zero, one))
     s = 1.05 * lam_max
-    lam_min = s - power(lambda op, v: s * v - op.mv(v))
+    lam_min = s - float(run(op, jnp.asarray(s, dtype), -one))
     return lam_min, lam_max
 
 
@@ -680,16 +682,19 @@ def tune_chebyshev(op, n_dof: int, dtype, spectrum,
         return None
     hi_m = 1.05 * hi0
 
-    def measure(interval):
-        @jax.jit
-        def run(op):
-            b = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,),
-                                  dtype)
-            _, _, res = chebyshev(op, b, maxiter=n_iter,
-                                  interval=interval)
-            return res / (jnp.linalg.norm(b) / np.sqrt(n_dof))
+    # the interval is a traced argument: ONE backend compile for all
+    # lower-edge candidates (a fresh jit per candidate measured 13 s
+    # each on this host)
+    @jax.jit
+    def run(op, lo_t, hi_t):
+        b = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,), dtype)
+        _, _, res = chebyshev(op, b, maxiter=n_iter,
+                              interval=(lo_t, hi_t))
+        return res / (jnp.linalg.norm(b) / np.sqrt(n_dof))
 
-        red = float(run(op))
+    def measure(interval):
+        red = float(run(op, jnp.asarray(interval[0], dtype),
+                        jnp.asarray(interval[1], dtype)))
         if not np.isfinite(red) or red <= 0:
             return None
         return float(min(red, 1.0) ** (1.0 / n_iter))

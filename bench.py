@@ -120,9 +120,15 @@ def main():
         dom.x = np.asarray(tf.df_to_f64(x_c))
         dom.setup_mg()
         t0 = _t("re-tune mg at converged state", t0)
-        step = dom.make_refined_step(sv_func=krylov.chebyshev,
-                                     maxiter=60, max_refine=10,
-                                     max_pass=1)
+        # Chebyshev stepping if the tuner certified a contracting
+        # enclosure; adaptive BiCGStab otherwise (robustness: the bench
+        # must emit its JSON line either way)
+        sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
+              else krylov.bicgstab)
+        print(f"[bench] inner solver: {sv.__name__}", file=sys.stderr,
+              flush=True)
+        step = dom.make_refined_step(sv_func=sv, maxiter=60,
+                                     max_refine=10, max_pass=1)
         x0 = x_c
         tdtype = jnp.float64
         perturb = lambda xp, eps: tf.DF(xp.hi * np.float32(1.0 + eps),

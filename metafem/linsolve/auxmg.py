@@ -57,9 +57,11 @@ class AuxDesc:
 
 
 def estimate_spacing(coords: np.ndarray, el_cp: np.ndarray,
-                     sample: int = 20000, seed: int = 0) -> float:
-    """Median over (sampled) elements of the min intra-element control-
-    point distance — the natural fine resolution of the mesh."""
+                     sample: int = 20000, seed: int = 0,
+                     diam_q: float = 0.99) -> Tuple[float, float]:
+    """(median min intra-element cp distance, ``diam_q``-quantile of the
+    element diameter) over (sampled) elements — the natural fine
+    resolution of the mesh and the span of its largest elements."""
     n_el = len(el_cp)
     if n_el > sample:
         idx = np.random.default_rng(seed).choice(n_el, sample,
@@ -68,10 +70,12 @@ def estimate_spacing(coords: np.ndarray, el_cp: np.ndarray,
     p = coords[el_cp]                                   # [e, a, dim]
     d = np.linalg.norm(p[:, :, None, :] - p[:, None, :, :], axis=-1)
     iu = np.triu_indices(el_cp.shape[1], 1)
-    return float(np.median(d[:, iu[0], iu[1]].min(axis=1)))
+    pair_d = d[:, iu[0], iu[1]]
+    return (float(np.median(pair_d.min(axis=1))),
+            float(np.quantile(pair_d.max(axis=1), diam_q)))
 
 
-def build_transfer(coords: np.ndarray, h: float):
+def build_transfer(coords: np.ndarray, h: float, wclamp: float = 0.1):
     """Cell ids + multilinear corner weights of each node on a uniform
     lattice of spacing ``h`` covering the point cloud (1-cell margin so
     corner ids never leave the lattice).
@@ -91,26 +95,36 @@ def build_transfer(coords: np.ndarray, h: float):
     for j, c in enumerate(corners):
         for a, bit in enumerate(c):
             w[:, j] *= frac[:, a] if bit else (1.0 - frac[:, a])
-    # Clamp tiny corner weights (nodes sitting ~on a lattice entity) and
-    # renormalize: keeps the partition of unity while preventing aux
-    # points that are touched only through 1e-9-weight tails — their
-    # Galerkin rows are near-null and blow up the coarse inverses.
-    w[w < 1e-3] = 0.0
+    # Clamp small corner weights and renormalize: keeps the partition of
+    # unity while preventing aux points touched only through weak tails.
+    # Those rows are near-null in the Galerkin operator and their
+    # effective inverse blows up the aux correction — measured on
+    # pikachu refine=2 (1.36M DOF): wclamp 1e-3 leaves a preconditioned
+    # lam_max of 13-166 (h-dependent); 0.1 gives [0.09, 1.0] and a
+    # Chebyshev-able operator (benchmarks/auxmg_probe.py).
+    w[w < wclamp] = 0.0
     w /= w.sum(axis=1, keepdims=True)
     return cell_flat, w, shape, corner_offs
 
 
 def galerkin_stencil(A_scipy, cell_flat: np.ndarray, w: np.ndarray,
                      aux_shape: Tuple[int, ...], channels: int,
-                     radius: int, dtype):
+                     radius: int, dtype, lump: bool = True):
     """Host Galerkin Pᵀ A P on the aux lattice, returned in the stencil
     form [n_off, C, C, *aux_shape] the lattice hierarchy consumes, plus
     the occupancy mask and the dropped-entry fraction.
 
-    Entries whose per-axis lattice displacement exceeds ``radius`` (rare:
-    only couplings through elements much larger than the aux spacing)
-    are dropped — harmless for a preconditioner, and keeping them would
-    square the stencil storage."""
+    Entries whose per-axis lattice displacement exceeds ``radius`` (only
+    couplings through elements much larger than the aux spacing) cannot
+    be stored without squaring the stencil.  With ``lump`` (default)
+    they are folded onto the row diagonal — preserving row sums, so the
+    aux operator keeps the true action on the constant/low-frequency
+    modes the coarse correction exists for.  Plain dropping makes the
+    preconditioned operator INDEFINITE once the dropped fraction is
+    non-negligible — measured on pikachu refine=2 (1.36M DOF, 1.1%
+    dropped |A|): spectrum [-226, 226] dropped vs positive lumped, and
+    the refined Newton step stalls at 6e-5 instead of converging
+    (benchmarks/auxmg_probe.py)."""
     import scipy.sparse as sp
 
     n_lat = int(np.prod(aux_shape))
@@ -154,8 +168,19 @@ def galerkin_stencil(A_scipy, cell_flat: np.ndarray, w: np.ndarray,
     # measured ~10x slower at this size)
     lin = (((oi[keep] * channels + ci[keep]) * channels + cj[keep])
            * n_lat + li[keep])
+    weights = Ac.data[keep]
+    if lump and not keep.all():
+        # fold out-of-radius couplings onto the row diagonal (same
+        # channel, zero offset): row sums — and with them the operator's
+        # action on the low-frequency modes — are preserved exactly
+        nd = ~keep
+        i0d = (n_off - 1) // 2
+        lin_d = (((np.full(int(nd.sum()), i0d, np.int64) * channels
+                   + ci[nd]) * channels + ci[nd]) * n_lat + li[nd])
+        lin = np.concatenate([lin, lin_d])
+        weights = np.concatenate([weights, Ac.data[nd]])
     coefs = np.bincount(
-        lin, weights=Ac.data[keep],
+        lin, weights=weights,
         minlength=n_off * channels * channels * n_lat).reshape(
             n_off, channels, channels, n_lat)
 
@@ -200,7 +225,16 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
     coords = mesh.cp_coords
 
     if h is None:
-        h = h_factor * estimate_spacing(coords, mesh.el_cp)
+        # two geometric bounds (measured on pikachu refine=2, 1.36M DOF,
+        # 5x graded — benchmarks/auxmg_probe.py):
+        # * resolution: h ~ h_factor x the median fine spacing;
+        # * coupling span: the largest elements must fit the stencil,
+        #   h >= diam_q99 / radius — under grading the fine-spacing rule
+        #   alone leaves >1% of |A| out of radius and the preconditioned
+        #   spectrum blows up (lam_max 694 at h_factor=2) where the
+        #   diameter rule keeps it clean ([0.09, 1.0], Chebyshev-able).
+        spacing, diam_hi = estimate_spacing(coords, mesh.el_cp)
+        h = max(h_factor * spacing, diam_hi / radius)
     cell_flat, w, aux_shape, corner_offs = build_transfer(coords, h)
 
     vals = np.asarray(K_total, np.float64)[layout.storage_of_slot]

@@ -346,14 +346,21 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
             # standard path; keeps them out of the program constants)
             from .scatter import apply_device_maps
             from .lattice_reduce import (concat_fast_blocks,
-                                         interleave_stream)
+                                         interleave_stream,
+                                         scan_apply_group,
+                                         use_scan_interleave)
             fast = fast_maps.get(phase, {})
             fast_r, fast_k = fast.get("r", {}), fast.get("k", {})
 
             def reduce_streams(vals_list, fast_dict, extents, total):
-                """Sum fast columns per lattice block (small arrays),
-                assemble with one concatenate; collect rest columns."""
-                blocks: Dict[int, jnp.ndarray] = {}
+                """Reduce the lattice fast-path columns.  Two forms:
+                unrolled (sum per lattice block, one concatenate) for
+                small footprints where XLA fuses across streams, or one
+                lax.scan over stacked selection matrices
+                (lattice_reduce.scan_apply_group) when the unrolled
+                temporaries would blow the arena (3D at 1M-DOF scale).
+                Collects non-fitting columns for the gather path."""
+                pairs = []                  # (vals_col, FastStream)
                 rest = []
                 for si, v in enumerate(vals_list):
                     entry = fast_dict.get(si)
@@ -362,17 +369,29 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                         continue
                     fs_list, rest_cols = entry
                     vf = v.reshape(v.shape[0], -1)
-                    for fs in fs_list:
-                        arr = interleave_stream(vf[:, fs.col], fs)
-                        prev = blocks.get(fs.base)
-                        blocks[fs.base] = arr if prev is None else prev + arr
+                    pairs.extend((vf[:, fs.col], fs) for fs in fs_list)
                     if rest_cols.size:
                         rest.append(vf[:, rest_cols].reshape(-1))
-                if blocks:
-                    out = concat_fast_blocks(blocks, extents, total, dtype)
-                else:
+                if not pairs:
+                    return jnp.zeros(total, dtype), rest
+                n_cp_max = max(int(np.prod(fs.lattice)) for _, fs in pairs)
+                if use_scan_interleave(len(pairs), n_cp_max,
+                                       jnp.dtype(dtype).itemsize):
                     out = jnp.zeros(total, dtype)
-                return out, rest
+                    groups: Dict[tuple, list] = {}
+                    for col, fs in pairs:
+                        key = (fs.lattice, fs.el_grid, fs.p)
+                        groups.setdefault(key, []).append((col, fs))
+                    for grp in groups.values():
+                        out = scan_apply_group(out, grp)
+                    return out, rest
+                blocks: Dict[int, jnp.ndarray] = {}
+                for col, fs in pairs:
+                    arr = interleave_stream(col, fs)
+                    prev = blocks.get(fs.base)
+                    blocks[fs.base] = arr if prev is None else prev + arr
+                return (concat_fast_blocks(blocks, extents, total, dtype),
+                        rest)
 
             r_extents = pattern.dof_block_extents
             k_extents = pattern.k_segment_extents

@@ -117,6 +117,24 @@ def gather_lattice_nodes(block_vals: jnp.ndarray,
     return jnp.stack(cols, axis=1)                 # [E, na]
 
 
+#: scan-interleave mode: True/False force, None = auto (enabled when the
+#: summed interleave temporaries of one reduction would exceed
+#: SCAN_AUTO_BYTES — the 3D regime where XLA's unrolled form was measured
+#: at a 9.6 GB temp arena; the unrolled form stays for small footprints
+#: where cross-stream fusion wins).  Env override: METAFEM_SCAN_INTERLEAVE.
+import os as _os
+
+SCAN: Optional[bool] = (None if "METAFEM_SCAN_INTERLEAVE" not in _os.environ
+                        else _os.environ["METAFEM_SCAN_INTERLEAVE"] == "1")
+SCAN_AUTO_BYTES = 1 << 30
+
+
+def use_scan_interleave(n_fast_cols: int, n_cp: int, itemsize: int) -> bool:
+    if SCAN is not None:
+        return SCAN
+    return n_fast_cols * n_cp * itemsize > SCAN_AUTO_BYTES
+
+
 _SEL_CACHE = {}
 
 
@@ -156,6 +174,47 @@ def apply_fast_stream(target: jnp.ndarray, vals_col: jnp.ndarray,
     n_cp = int(np.prod(fs.lattice))
     return target.at[fs.base:fs.base + n_cp].add(
         interleave_stream(vals_col, fs))
+
+
+def scan_apply_group(target: jnp.ndarray,
+                     pairs: List[Tuple[jnp.ndarray, FastStream]]
+                     ) -> jnp.ndarray:
+    """Accumulate every (vals_col, FastStream) pair of one lattice group
+    (same lattice/el_grid/p; base and k0 vary) into the flat ``target``
+    via ONE ``lax.scan`` over stacked selection matrices.
+
+    The unrolled form (interleave_stream per column + block sums) keeps
+    one [n_cp] temp live per column: at 3D 1.4M-DOF scale (~400 K
+    columns x 5.4 MB blocks) XLA's schedule was measured at a 9.6 GB
+    temp arena.  The scan body touches exactly one [n_cp] window per
+    iteration (read-modify-write at a traced base), bounding liveness to
+    O(n_cp) regardless of column count, with one compiled body instead
+    of 400 unrolled interleaves.  Deterministic: fixed list order."""
+    import jax.lax as lax
+
+    fs0 = pairs[0][1]
+    dim = len(fs0.el_grid)
+    n_cp = int(np.prod(fs0.lattice))
+    dtype = pairs[0][0].dtype
+    cols = jnp.stack([c for c, _ in pairs])              # [n, E]
+    sels = tuple(
+        jnp.asarray(np.stack([_selection(fs.el_grid[a], fs.lattice[a],
+                                         fs.p, fs.k0[a], dtype)
+                              for _, fs in pairs]))      # [n, g_a, L_a]
+        for a in range(dim))
+    bases = jnp.asarray(np.array([fs.base for _, fs in pairs], np.int32))
+
+    def body(tgt, xs):
+        c = xs[0].reshape(fs0.el_grid)
+        for a in range(dim):
+            c = jnp.moveaxis(jnp.tensordot(c, xs[1 + a],
+                                           axes=([a], [0])), -1, a)
+        win = lax.dynamic_slice(tgt, (xs[-1],), (n_cp,))
+        return lax.dynamic_update_slice(tgt, win + c.reshape(-1),
+                                        (xs[-1],)), None
+
+    target, _ = lax.scan(body, target, (cols,) + sels + (bases,))
+    return target
 
 
 def concat_fast_blocks(block_sums: dict, block_extents, total: int,

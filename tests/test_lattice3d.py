@@ -78,6 +78,35 @@ def test_3d_fast_paths_fit_and_match():
                                rtol=1e-12, atol=1e-9)
 
 
+def test_3d_scan_interleave_matches():
+    """The scan-interleave reduction (bounded-liveness form for 3D scale,
+    lattice_reduce.scan_apply_group) must reproduce the unrolled
+    interleave bit-for-bit in effect on the same brick problem."""
+    from metafem.solver import lattice_reduce as lr
+
+    def k_r(dom):
+        dom.time_discretization.update_time(dom.dt,
+                                            dom.pattern.max_time_level)
+        state = dom._runtime_state()
+        state["x_star"] = dom.x
+        state["K_linear"] = dom._k_linear(state)
+        residue, K = dom._res_k(state)
+        return (np.asarray(state["K_linear"]), np.asarray(residue),
+                np.asarray(K))
+
+    saved = lr.SCAN
+    try:
+        lr.SCAN = False
+        k0, r0, kt0 = k_r(_brick_thermal(nel=(6, 6, 6)))
+        lr.SCAN = True
+        k1, r1, kt1 = k_r(_brick_thermal(nel=(6, 6, 6)))
+    finally:
+        lr.SCAN = saved
+    np.testing.assert_allclose(k0, k1, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(r0, r1, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(kt0, kt1, rtol=1e-12, atol=1e-9)
+
+
 def test_3d_mg_step_converges():
     dom = _brick_thermal()
     dom.converge_tol = 1e-8

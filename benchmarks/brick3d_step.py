@@ -1,0 +1,121 @@
+"""3D production stepping at ~1.44M DOF (56^3 brick, order-2
+serendipity): the same frozen-cache refined path bench.py times in 2D —
+frozen f64 affine operator + frozen per-td linear tangent + frozen MG +
+Chebyshev inner solves — measured as single warm steps with fresh
+perturbed inputs and a host scalar readback.
+
+Target (VERDICT round 1, item 2): < 1.5 s/step at 1e-6 tolerance.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(nel_side=56, tol=1e-6):
+    import jax
+    import jax.numpy as jnp
+
+    import metafem as mf
+    from metafem import Bilinear
+    from metafem.solver.domain import FEM_Domain
+    from metafem.linsolve import krylov, twofloat as tf
+
+    t0 = time.perf_counter()
+
+    def tick(msg):
+        nonlocal t0
+        print(f"[brick3d] {msg}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+
+    nel = (nel_side,) * 3
+    L = 1.0
+    vert, conn = mf.make_brick((L, L, L), nel)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(3, dtype=jnp.float32)
+    wp = dom.add_workpiece(geo)
+    eps = 1e-9
+    bottom = mf.select_facets(geo, lambda c: c[:, 2] < eps)
+    top = mf.select_facets(geo, lambda c: c[:, 2] > L - eps)
+    bg_b = dom.add_boundary(wp, bottom)
+    bg_t = dom.add_boundary(wp, top)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    i = mf.index("i")
+    dom.assign_workpiece_weakform(
+        wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
+    # radiation on top keeps a nonlinear boundary in the loop (same
+    # structure as the 2D bench)
+    dom.assign_boundary_weakform(wp, bg_b, 1000.0 * Bilinear(T, 800.0 - T))
+    dom.assign_boundary_weakform(
+        wp, bg_t, 50.0 * Bilinear(T, 300.0 - T)
+        + 0.7 * 5.669e-8 * Bilinear(T, 300.0 ** 4 - T ** 4))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    dom.mesh_classical(itp_order=2, itg_order=3, itp_type="Serendipity")
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh = dom.workpieces[wp].mesh
+    dom.set_field(wp, "T", np.full(mesh.n_cp, 300.0))
+    dom.set_field(wp, "s", np.full(mesh.n_cp, 100.0))
+    dom.refresh_fields()
+    dom.assemble_x()
+    n = dom.pattern.basicfield_size
+    print(f"n_dof = {n}", flush=True)
+    tick("setup")
+
+    dom.converge_tol = tol
+    dom.freeze_linear_tangent()
+    tick("freeze_linear_tangent")
+    dom.setup_mg()
+    tick("setup_mg")
+    dom.freeze_refined_residual()
+    tick("freeze_refined_residual")
+
+    step_c = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                   max_refine=10, max_pass=1)
+    state = dom._runtime_state()
+    x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
+    x_c, _, res_c, _ = step_c(state, x_c, jnp.float64(0.0),
+                              jnp.float64(1.0))
+    if not isinstance(x_c, tf.DF):
+        x_c = tf.df_from_f64(x_c)
+    jax.block_until_ready(x_c.hi)
+    tick(f"converge once (res={float(res_c):.2e})")
+
+    dom.x = np.asarray(tf.df_to_f64(x_c))
+    dom.setup_mg()
+    tick("re-tune mg at converged state")
+    sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
+          else krylov.bicgstab)
+    print(f"[brick3d] inner solver: {sv.__name__}", flush=True)
+    step = dom.make_refined_step(sv_func=sv, maxiter=60, max_refine=10,
+                                 max_pass=1)
+
+    def timed(eps):
+        x1 = tf.DF(x_c.hi * np.float32(1.0 + eps), x_c.lo)
+        jax.block_until_ready(x1)
+        t1 = time.perf_counter()
+        _, _, res, it = step(state, x1, jnp.float64(0.0), jnp.float64(1.0))
+        r = float(res)
+        return time.perf_counter() - t1, r, int(it)
+
+    timed(1e-4)
+    tick("step compile+warm")
+    results = [timed(1e-4 * (t + 2)) for t in range(3)]
+    for dt, r, it in results:
+        print(f"[brick3d] warm step {dt*1e3:.0f} ms  res={r:.2e} "
+              f"refines={it}", flush=True)
+    dt = float(np.median([t for t, _, _ in results]))
+    print(json.dumps({"n_dof": n, "step_ms": dt * 1e3,
+                      "dofs_per_sec": n / dt,
+                      "residual": results[-1][1]}))
+
+
+if __name__ == "__main__":
+    main(nel_side=int(sys.argv[1]) if len(sys.argv) > 1 else 56,
+         tol=float(sys.argv[2]) if len(sys.argv) > 2 else 1e-6)

@@ -40,17 +40,12 @@ DOT_MODE = "dot2"
 
 
 def _two_prod(a, b):
-    """Error-free product a*b = p + err in f32 via Dekker splitting
-    (factor 2^12+1 splits the 24-bit mantissa in half)."""
-    p = a * b
-    ca = a * 4097.0
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = b * 4097.0
-    bh = cb - (cb - b)
-    bl = b - bh
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, err
+    """Error-free product a*b = p + err in f32 (twofloat.two_prod —
+    Dekker splitting with the CPU-backend contraction pins; XLA:CPU's
+    fused-kernel FMA contraction otherwise silently destroys the
+    error term, see twofloat._pin)."""
+    from .twofloat import two_prod
+    return two_prod(a, b)
 
 
 _BLOCK = 1024

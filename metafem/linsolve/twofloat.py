@@ -35,9 +35,40 @@ class DF(NamedTuple):
     lo: jnp.ndarray
 
 
+#: XLA:CPU's fused-kernel emitter applies FMA contraction: inside a
+#: fusion, ``s + a*b`` compiles to fma(a, b, s), skipping the f32
+#: rounding of the product — which silently breaks every error-free
+#: transform built on that rounding (measured: a jitted df_dot2 chain
+#: degrades from 2^-48 to plain-f32 accuracy; the same program is exact
+#: eagerly, exact with --xla_disable_hlo_passes=fusion, and exact on
+#: TPU).  ``lax.optimization_barrier`` does NOT survive this XLA
+#: version's CPU pipeline (fusions form straight through it), but
+#: ``lax.reduce_precision(x, exp_bits, mantissa_bits)`` at the dtype's
+#: own precision does: it is an explicit semantics-pinning op the
+#: compiler keeps, and LLVM cannot contract a mul+add across the
+#: intervening bit-manipulation.  Pins are inserted on the CPU backend
+#: only; TPU preserves the EFT semantics under full fusion (verified)
+#: and keeps the unpinned hot path.
+_EFT_PIN = None
+
+
+def _pin(x):
+    global _EFT_PIN
+    if _EFT_PIN is None:
+        _EFT_PIN = jax.default_backend() == "cpu"
+    if not _EFT_PIN:
+        return x
+    dt = getattr(x, "dtype", None)
+    if dt == jnp.float32:
+        return jax.lax.reduce_precision(x, 8, 23)
+    if dt == jnp.float64:
+        return jax.lax.reduce_precision(x, 11, 52)
+    return x
+
+
 def two_sum(a, b):
     """Error-free a + b = s + e (Knuth)."""
-    s = a + b
+    s = _pin(a + b)          # pin the rounded sum before the error calc
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -45,7 +76,7 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """Error-free a + b = s + e, REQUIRES |a| >= |b| (Dekker)."""
-    s = a + b
+    s = _pin(a + b)
     e = b - (s - a)
     return s, e
 
@@ -53,12 +84,12 @@ def fast_two_sum(a, b):
 def two_prod(a, b):
     """Error-free a * b = p + e via Dekker splitting (2^12+1 splits the
     24-bit f32 mantissa; same transform as krylov._two_prod)."""
-    p = a * b
-    ca = a * 4097.0
-    ah = ca - (ca - a)
+    p = _pin(a * b)
+    ca = _pin(a * 4097.0)    # Veltkamp split: fma(a,4097,-ca) would
+    cb = _pin(b * 4097.0)    # fold the split constant — pin both
+    ah = _pin(ca - (ca - a))
+    bh = _pin(cb - (cb - b))
     al = a - ah
-    cb = b * 4097.0
-    bh = cb - (cb - b)
     bl = b - bh
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
@@ -108,6 +139,65 @@ def df_scale(x: DF, c) -> DF:
 def df_scale_df(x: DF, c: DF) -> DF:
     p, e = two_prod(x.hi, c.hi)
     return df_normalize(p, e + (x.hi * c.lo + x.lo * c.hi))
+
+
+def df_const(c) -> DF:
+    """Exact DF split of a host scalar."""
+    c = np.float64(c)
+    hi = np.float32(c)
+    return DF(jnp.float32(hi), jnp.float32(np.float64(c) - np.float64(hi)))
+
+
+def as_df(v) -> DF:
+    """Coerce a float / f32 array / traced f64 scalar / DF to DF."""
+    if isinstance(v, DF):
+        return v
+    if isinstance(v, (int, float)):
+        return df_const(v)
+    v = jnp.asarray(v)
+    if v.dtype == jnp.float64:
+        hi = v.astype(jnp.float32)
+        return DF(hi, (v - hi.astype(jnp.float64)).astype(jnp.float32))
+    return DF(v.astype(jnp.float32), jnp.zeros_like(v, jnp.float32))
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    return df_scale_df(x, y)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_div(x: DF, y: DF) -> DF:
+    """Long division: quotient digit + compensated remainder digit —
+    ~2^-47 relative error, all native f32."""
+    q0 = x.hi / y.hi
+    r = df_add(x, df_neg(df_scale(y, q0)))
+    q1 = r.hi / y.hi
+    r2 = df_add(r, df_neg(df_scale(y, q1)))
+    q2 = r2.hi / y.hi
+    s, e = two_sum(q0, q1)
+    return df_normalize(s, e + q2)
+
+
+def df_dot2(pairs) -> DF:
+    """Compensated sum of elementwise DF*DF products (Ogita-Rump-Oishi
+    dot2 over a static list): hi products are error-free (two_prod), hi
+    accumulation is two_sum-compensated, and every O(eps)-magnitude term
+    (product errors, cross terms, lo accumulation) sums in plain f32 —
+    total error ~2^-48 |sum|.  ``pairs``: iterable of (DF, DF) with
+    broadcast-compatible components."""
+    s = c = None
+    for a, b in pairs:
+        p, e = two_prod(a.hi, b.hi)
+        e = e + (a.hi * b.lo + a.lo * b.hi)
+        if s is None:
+            s, c = p, e
+        else:
+            s, e2 = two_sum(s, p)
+            c = c + (e + e2)
+    return df_normalize(s, c)
 
 
 def _shifted_stack(xw, offsets, n_cp):

@@ -249,6 +249,78 @@ def collect_phase_slots(compiled_wps: List[CompiledWP],
             np.concatenate(k) if k else None)
 
 
+def _reduce_df(r_vals, fast_r: dict, extents, total: int,
+               device_maps: dict):
+    """Two-float residual reduction (df_lowering.py): per-stream DF
+    contribution pairs -> a DF global residual.  The lattice interleave
+    places hi/lo exactly (0/1 selection matmuls — no rounding); only the
+    cross-column accumulation compensates (df_add / scan_apply_group_df);
+    non-fitting streams reduce through the compensated gather maps
+    (scatter.apply_device_maps_df)."""
+    from ..linsolve import twofloat as tf
+    from .lattice_reduce import (concat_fast_blocks, interleave_stream,
+                                 scan_apply_group_df, use_scan_interleave)
+    from .scatter import apply_device_maps_df
+
+    pairs = []                        # (DF col, FastStream)
+    rest = []                         # flat DF contribution tails
+    for si, v in enumerate(r_vals):
+        entry = fast_r.get(si)
+        if entry is None:
+            rest.append(tf.DF(v.hi.reshape(-1), v.lo.reshape(-1)))
+            continue
+        fs_list, rest_cols = entry
+        B = v.hi.shape[0]
+        vf = tf.DF(v.hi.reshape(B, -1), v.lo.reshape(B, -1))
+        pairs.extend((tf.DF(vf.hi[:, fs.col], vf.lo[:, fs.col]), fs)
+                     for fs in fs_list)
+        if rest_cols.size:
+            rest.append(tf.DF(vf.hi[:, rest_cols].reshape(-1),
+                              vf.lo[:, rest_cols].reshape(-1)))
+    if pairs:
+        n_cp_max = max(int(np.prod(fs.lattice)) for _, fs in pairs)
+        if use_scan_interleave(2 * len(pairs), n_cp_max, 4):
+            residue = tf.DF(jnp.zeros(total, jnp.float32),
+                            jnp.zeros(total, jnp.float32))
+            groups: Dict[tuple, list] = {}
+            for col, fs in pairs:
+                groups.setdefault((fs.lattice, fs.el_grid, fs.p),
+                                  []).append((col, fs))
+            for grp in groups.values():
+                residue = scan_apply_group_df(residue, grp)
+        else:
+            blocks: Dict[int, tf.DF] = {}
+            for col, fs in pairs:
+                arr = tf.DF(interleave_stream(col.hi, fs),
+                            interleave_stream(col.lo, fs))
+                prev = blocks.get(fs.base)
+                blocks[fs.base] = (arr if prev is None
+                                   else tf.df_add(prev, arr))
+            residue = tf.DF(
+                concat_fast_blocks({b: d.hi for b, d in blocks.items()},
+                                   extents, total, jnp.float32),
+                concat_fast_blocks({b: d.lo for b, d in blocks.items()},
+                                   extents, total, jnp.float32))
+    else:
+        residue = tf.DF(jnp.zeros(total, jnp.float32),
+                        jnp.zeros(total, jnp.float32))
+    if rest:
+        data = tf.DF(jnp.concatenate([d.hi for d in rest]),
+                     jnp.concatenate([d.lo for d in rest]))
+        if "r_touched" in device_maps:
+            touched = device_maps["r_touched"]
+            compact = apply_device_maps_df(device_maps.get("r"), data,
+                                           touched.shape[0])
+            cur = tf.DF(residue.hi[touched], residue.lo[touched])
+            new = tf.df_add(cur, compact)
+            residue = tf.DF(residue.hi.at[touched].set(new.hi),
+                            residue.lo.at[touched].set(new.lo))
+        else:
+            residue = tf.df_add(residue, apply_device_maps_df(
+                device_maps.get("r"), data, total))
+    return residue
+
+
 def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                   pattern: GlobalPattern,
                   functions: Dict[str, object],
@@ -274,8 +346,14 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
     _maps_cache: Dict[bool, tuple] = {}
 
     def _run(state, phase: str):
-        dtype = state["x_star"].dtype
+        # two-float mode: '<base>_df' evaluates the base phase's residues
+        # in double-f32 arithmetic (df_lowering.py) — x_star and all
+        # geometry tables in state['wp'] are DF pairs, the return is a
+        # DF residual.  Map/stream layouts are those of the base phase.
+        df_mode = phase.endswith("_df")
+        base_phase = phase[:-3] if df_mode else phase
         x_star = state["x_star"]
+        dtype = jnp.float32 if df_mode else x_star.dtype
         t, dt, K_params = state["t"], state["dt"], state["K_params"]
         global_vars = state.get("global_vars", {})
 
@@ -290,14 +368,34 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
 
             def do_wf(wf: AssembleWeakform, part_state, el_cp_np,
                       pair_slot_np, is_boundary):
-                res_bils, grad_bils = _phase_parts(wf, phase)
-                if phase in ("lin", "aff_lin"):
+                res_bils, grad_bils = _phase_parts(wf, base_phase)
+                if base_phase in ("lin", "aff_lin"):
                     inner_infos: List[InnervarInfo] = []
                     exter_infos = wf.linear_extervar_infos
                 else:
                     inner_infos = wf.innervar_infos
                     exter_infos = wf.extervar_infos
                 if not (res_bils or grad_bils):
+                    return
+                gather_fast = None
+                if not is_boundary and state.get("maps"):
+                    gather_fast = fast_maps.get("gather", {}).get(w_i)
+                if df_mode:
+                    from .df_lowering import (DFLoweringContext,
+                                              assemble_part_df,
+                                              build_env_df)
+                    assert not grad_bils, \
+                        "df phases evaluate residues only"
+                    env = build_env_df(tb, wp_state, part_state, cw,
+                                       inner_infos, exter_infos, x_star,
+                                       t, dt, global_vars, is_boundary,
+                                       gather_fast=gather_fast)
+                    ctx = DFLoweringContext(tb, env, functions,
+                                            user_state=state.get("user"))
+                    res_contribs = assemble_part_df(tb, cw, part_state,
+                                                    res_bils, ctx)
+                    for pos in sorted(res_contribs):
+                        r_vals.append(res_contribs[pos])   # DF [B, na]
                     return
                 # sharding may have padded the element batch; pad the host
                 # index arrays to match (pad contributions are exactly 0 —
@@ -308,9 +406,6 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     el_cp_np = np.pad(el_cp_np, ((0, pad), (0, 0)))
                     pair_slot_np = np.pad(pair_slot_np,
                                           ((0, pad),) + ((0, 0),) * 2)
-                gather_fast = None
-                if not is_boundary and state.get("maps"):
-                    gather_fast = fast_maps.get("gather", {}).get(w_i)
                 env = _build_env(tb, wp_state, part_state, cw, inner_infos,
                                  exter_infos, x_star, t, dt, global_vars,
                                  is_boundary, gather_fast=gather_fast)
@@ -337,10 +432,18 @@ def make_updaters(tb: TensorTable, compiled_wps: List[CompiledWP],
                     do_wf(wf, part_state, cw.el_cp[els],
                           info.pair_slot[els], True)
 
+        device_maps = state.get("maps", {}).get(base_phase)
+        if df_mode:
+            assert device_maps is not None, \
+                "df phases need device reduction maps (_ensure_device_maps)"
+            residue = _reduce_df(
+                r_vals, fast_maps.get(base_phase, {}).get("r", {}),
+                pattern.dof_block_extents, bfs, device_maps)
+            return residue, jnp.zeros((), jnp.float32)
+
         cache_key = (phase,
                      sum(int(r.size) for r in r_rows),
                      sum(int(k.size) for k in k_slots))
-        device_maps = state.get("maps", {}).get(phase)
         if device_maps is not None:
             # maps passed as device arrays through the state pytree (the
             # standard path; keeps them out of the program constants)

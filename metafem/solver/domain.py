@@ -670,16 +670,30 @@ class FEM_Domain:
             b64 = np.asarray(run64(st, "aff_res")[0])
         del st, st_wp
 
-        # f64 table views on the compute device for the per-iteration
-        # nonaffine remainder: boundary parts + fields always; volume
-        # element tables only when a volume form is nonaffine
+        # table views on the compute device for the per-iteration
+        # nonaffine remainder.  Boundary-only nonaffinity: f64 tables
+        # (boundary-sized data — cheap even emulated).  Volume
+        # nonaffinity (hyperelasticity, convection): two-float pairs of
+        # the exact f64 geometry (df_lowering.py) — the df32 step
+        # evaluates the nonaffine volume residues in DF arithmetic at
+        # native f32 rate, and the f64 step mode reconstructs f64 views
+        # from the same pairs (exact: hi + lo).
         dev = self.x.devices().pop() if hasattr(self.x, "devices") else None
-        wp64 = self._geometry_state(jnp.float64, device=dev,
-                                    volume=vol_nonaff)
-        for i, wp in enumerate(self.workpieces):
-            if not vol_nonaff:
+        wp_df = None
+        if vol_nonaff:
+            from .df_lowering import df_tables
+            wp64_host = self._geometry_state(jnp.float64, device=cpu)
+            for i, wp in enumerate(self.workpieces):
+                wp64_host[i]["fields"] = fields64(wp, cpu)
+            wp_df = df_tables(wp64_host, device=dev)
+            del wp64_host
+            wp64 = None
+        else:
+            wp64 = self._geometry_state(jnp.float64, device=dev,
+                                        volume=False)
+            for i, wp in enumerate(self.workpieces):
                 wp64[i]["el"] = self.state["wp"][i]["el"]
-            wp64[i]["fields"] = fields64(wp, dev)
+                wp64[i]["fields"] = fields64(wp, dev)
 
         # DOF slots the nonaffine streams can gather x from (union of
         # the boundary elements' control points over all variables and
@@ -711,7 +725,8 @@ class FEM_Domain:
         b_df = df_from_f64(b64)
         self._refined = {"A_hi": A_df.hi, "A_lo": A_df.lo,
                          "b_hi": b_df.hi, "b_lo": b_df.lo,
-                         "bnd_dofs": bnd_dofs, "wp": wp64}
+                         "bnd_dofs": bnd_dofs, "wp": wp64,
+                         "wp_df": wp_df}
 
     def setup_mg(self, **mg_opts) -> None:
         """Build the geometric-multigrid state ONCE from the tangent at

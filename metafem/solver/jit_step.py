@@ -25,6 +25,21 @@ from ..linsolve.block_offset import OffsetMatrix
 from .time_domain import initialize_dx, x_star_of
 
 
+def _df_jit(fun):
+    """jit for programs carrying two-float (DF) arithmetic.  XLA:CPU's
+    fusion emitter miscompiles error-free transforms whose producers are
+    fused in (duplicated subgraphs diverge at f32 level — see
+    twofloat._pin); disabling the fusion pass for these programs on the
+    CPU backend restores exact DF semantics (measured: composed df
+    residual 1.5e-3 -> 2.7e-10 absolute error).  TPU preserves DF
+    semantics under full fusion (verified on-chip) and compiles
+    normally — the hot path keeps XLA's fusions."""
+    if jax.default_backend() == "cpu":
+        return jax.jit(fun,
+                       compiler_options={"xla_disable_hlo_passes": "fusion"})
+    return jax.jit(fun)
+
+
 def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                      maxiter: int = 2000, max_newton: int = 4,
                      max_pass: int = 2, precond: str = "jacobi",
@@ -356,6 +371,19 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
         return jnp.maximum(jnp.asarray(tol, dtype),
                            jnp.asarray(forcing, dtype) * res_n)
 
+    # volume-nonaffine physics (hyperelasticity, convection): the freeze
+    # stores two-float geometry tables (wp_df) instead of f64 views
+    vol_nonaff = domain._refined.get("wp_df") is not None
+
+    def _nonaff_wp64(ref):
+        """f64 table views for the f64 residual mode, reconstructed
+        exactly from the DF pairs when the freeze stored those."""
+        if not vol_nonaff:
+            return ref["wp"]
+        return jax.tree_util.tree_map(
+            lambda v: tf.df_to_f64(v) if isinstance(v, tf.DF) else v,
+            ref["wp_df"], is_leaf=lambda v: isinstance(v, tf.DF))
+
     if residual_mode == "f64":
         @jax.jit
         def step(state, x, t, dt):
@@ -383,7 +411,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 for td in range(levels):
                     Atd = OffsetMatrix.from_values(A64[td], layout)
                     r = r + Atd.mv(xs[td])
-                st64 = {**state, "wp": ref["wp"], "x_star": xs,
+                st64 = {**state, "wp": _nonaff_wp64(ref), "x_star": xs,
                         "K_params": K_params64,
                         "t": t.astype(f64), "dt": dt64}
                 r_nl, K_nl = run_phase(st64, "nonaff_nl")
@@ -424,13 +452,8 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     ref_host = domain._refined
     has_nonaff_res = "r_touched" in getattr(
         domain, "_device_maps", {}).get("nonaff_res", {})
-    if has_nonaff_res and ref_host["bnd_dofs"] is None:
-        raise NotImplementedError(
-            "df32 refined step with volume nonaffine forms: the full f64 "
-            "x* cast is the emulated-f64 cost this mode avoids — use "
-            "residual_mode='f64' (or keep the f32 path) for now")
 
-    @jax.jit
+    @_df_jit
     def step(state, x, t, dt):
         f32, f64 = jnp.float32, jnp.float64
         if isinstance(x, tf.DF):
@@ -480,11 +503,22 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 r = tf.df_add(r, tf.df_offset_mv(
                     tf.DF(A_df.hi[td], A_df.lo[td]), layout,
                     tf.DF(xs.hi[td], xs.lo[td])))
-            # nonaffine boundary residues: f64 on boundary-sized data —
+            # Nonaffine residues.  Volume-nonaffine physics
+            # (hyperelasticity, convection): evaluate ALL nonaffine
+            # residues in two-float arithmetic over the frozen DF
+            # geometry (df_lowering.py) — f64-quality values at native
+            # f32 rate, no emulated-f64 volume work.
+            if vol_nonaff:
+                st_df = {**state, "wp": ref["wp_df"], "x_star": xs,
+                         "K_params": K_params64,
+                         "t": t.astype(f64), "dt": dt64}
+                r_nl_df, _ = run_phase(st_df, "nonaff_res_df")
+                r = tf.df_add(r, r_nl_df)
+            # Boundary-only nonaffinity: f64 on boundary-sized data —
             # x* materialized in f64 ONLY at the boundary DOF slots.
             # Fully affine physics (e.g. pure-convection thermal) has no
             # nonaffine residues at all — skip the block entirely.
-            if has_nonaff_res:
+            elif has_nonaff_res:
                 xs_b64 = (xs.hi[:, bnd].astype(f64)
                           + xs.lo[:, bnd].astype(f64))
                 xs64 = jnp.zeros((levels, bfs), f64).at[:, bnd].set(xs_b64)

@@ -239,3 +239,46 @@ def concat_fast_blocks(block_sums: dict, block_extents, total: int,
     if pos < total:
         parts.append(jnp.zeros(total - pos, dtype))
     return jnp.concatenate(parts)
+
+
+def scan_apply_group_df(target, pairs):
+    """Two-float scan_apply_group: ``target`` and the value columns are
+    DF pairs.  The selection matmuls place values without rounding (0/1
+    matrices — each output receives exactly one input), so hi and lo
+    interleave independently; only the window accumulation needs the
+    compensated add (cross-stream contributions cancel)."""
+    import jax.lax as lax
+    from ..linsolve import twofloat as tf
+
+    fs0 = pairs[0][1]
+    dim = len(fs0.el_grid)
+    n_cp = int(np.prod(fs0.lattice))
+    cols_hi = jnp.stack([c.hi for c, _ in pairs])        # [n, E]
+    cols_lo = jnp.stack([c.lo for c, _ in pairs])
+    sels = tuple(
+        jnp.asarray(np.stack([_selection(fs.el_grid[a], fs.lattice[a],
+                                         fs.p, fs.k0[a], np.float32)
+                              for _, fs in pairs]))
+        for a in range(dim))
+    bases = jnp.asarray(np.array([fs.base for _, fs in pairs], np.int32))
+
+    def interleave(flat, xs):
+        c = flat.reshape(fs0.el_grid)
+        for a in range(dim):
+            c = jnp.moveaxis(jnp.tensordot(c, xs[2 + a],
+                                           axes=([a], [0])), -1, a)
+        return c.reshape(-1)
+
+    def body(tgt, xs):
+        hi, lo = tgt
+        c = tf.DF(interleave(xs[0], xs), interleave(xs[1], xs))
+        base = xs[-1]
+        win = tf.DF(lax.dynamic_slice(hi, (base,), (n_cp,)),
+                    lax.dynamic_slice(lo, (base,), (n_cp,)))
+        new = tf.df_add(win, c)
+        return (lax.dynamic_update_slice(hi, new.hi, (base,)),
+                lax.dynamic_update_slice(lo, new.lo, (base,))), None
+
+    (hi, lo), _ = lax.scan(body, (target.hi, target.lo),
+                           (cols_hi, cols_lo) + sels + (bases,))
+    return tf.DF(hi, lo)

@@ -122,3 +122,35 @@ def apply_device_maps(maps: Optional[dict], data: jnp.ndarray,
         out = out + jax.ops.segment_sum(data[maps["of_src"]],
                                         maps["of_dst"], num_segments=num)
     return out
+
+
+def apply_device_maps_df(maps: Optional[dict], data, num: int):
+    """Two-float variant of apply_device_maps: ``data`` is a DF pair of
+    contribution values; the per-slot cap-term sum is two_sum-compensated
+    (each slot's contributions may cancel — a plain f32 sum here would
+    reintroduce the f32 assembly floor the DF path exists to remove).
+    The small overflow tail reduces through one f64 segment_sum."""
+    from ..linsolve import twofloat as tf
+    if maps is None:
+        z = jnp.zeros(num, jnp.float32)
+        return tf.DF(z, z)
+    pad_hi = jnp.concatenate([data.hi, jnp.zeros(1, jnp.float32)])
+    pad_lo = jnp.concatenate([data.lo, jnp.zeros(1, jnp.float32)])
+    gmap_flat = maps["gmap_flat"]
+    n = num
+    cap = gmap_flat.shape[0] // n
+    idx = gmap_flat[0:n]
+    s, c = pad_hi[idx], pad_lo[idx]
+    for k in range(1, cap):
+        idx = gmap_flat[k * n:(k + 1) * n]
+        s, e = tf.two_sum(s, pad_hi[idx])
+        c = c + (e + pad_lo[idx])
+    out = tf.df_normalize(s, c)
+    if "of_src" in maps:
+        v64 = (data.hi[maps["of_src"]].astype(jnp.float64)
+               + data.lo[maps["of_src"]].astype(jnp.float64))
+        t64 = jax.ops.segment_sum(v64, maps["of_dst"], num_segments=num)
+        t_hi = t64.astype(jnp.float32)
+        t_lo = (t64 - t_hi.astype(jnp.float64)).astype(jnp.float32)
+        out = tf.df_add(out, tf.DF(t_hi, t_lo))
+    return out

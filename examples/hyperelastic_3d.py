@@ -13,14 +13,14 @@ from metafem.linsolve import krylov
 from metafem.solver.domain import FEM_Domain
 
 
-def build(e_number=2, LW_ratio=10, material="neo_hookean"):
+def build(e_number=2, LW_ratio=10, material="neo_hookean", dtype=None):
     L_box = 1.0
     size = (L_box * LW_ratio, L_box, L_box)
     nel = (e_number * LW_ratio, e_number, e_number)
     vert, conn = mf.make_brick(size, nel)
     geo = mf.construct_total_mesh(vert, conn)
 
-    dom = FEM_Domain(3)
+    dom = FEM_Domain(3, dtype=dtype)
     wp = dom.add_workpiece(geo)
     eps_g = L_box / e_number * 0.01
     left = mf.select_facets(geo, lambda c: c[:, 0] < eps_g)

@@ -728,14 +728,23 @@ class FEM_Domain:
                          "bnd_dofs": bnd_dofs, "wp": wp64,
                          "wp_df": wp_df}
 
-    def setup_mg(self, **mg_opts) -> None:
+    def setup_mg(self, tune: bool = True, **mg_opts) -> None:
         """Build the geometric-multigrid state ONCE from the tangent at
         the current x and stash it in the runtime state, for jitted
         steps built with ``precond='mg', reuse_mg=True`` — skips the
         per-step probing setup (~160 ms at 1M DOF).  Valid while the
         tangent the V-cycle approximates stays representative (linear
         problems: exact; mild nonlinearity: still an effective
-        preconditioner — the Krylov iteration count absorbs the drift)."""
+        preconditioner — the Krylov iteration count absorbs the drift).
+
+        ``tune=False`` skips the preconditioned-spectrum estimate and
+        the Chebyshev enclosure scan — the expensive part of the setup
+        (power iterations + contraction measurements, device solves).
+        Use it when the tangent at the current x is NOT the one
+        production will step around (e.g. before an initial
+        converge-once pass with an adaptive Krylov inner solver, which
+        only needs the V-cycle): tune once at the converged state
+        instead of paying the scan twice."""
         from ..linsolve import multigrid
         hier = multigrid.hierarchy_for_domain(self, **mg_opts)
         ga = self.time_discretization
@@ -754,6 +763,10 @@ class FEM_Domain:
         mask = multigrid.mask_for_domain(self)
         self._mg_frozen = jax.jit(
             lambda A, m: multigrid.mg_setup(hier, A, m))(A, mask)
+        if not tune:
+            self._mg_spectrum = None
+            self._mg_cheb = None
+            return
         # preconditioned-spectrum estimate + tuned Chebyshev enclosure
         # (interval, measured rate) for Chebyshev inner solves
         op = multigrid.MGOperator(A, self._mg_frozen, hier)

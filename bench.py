@@ -181,7 +181,7 @@ def main():
     timed(1e-4)                            # compile + warm
     t0 = _t("step compile+warm", t0, phases, "step_compile")
     results = [timed(1e-4 * (t + 2)) for t in range(3)]
-    dt = float(np.median([t for t, _ in results]))
+    dt = float(np.median([t for t, _, _ in results]))
     res_final = results[-1][1]
 
     # observability (VERDICT r2 item #9): the inner-solver identity,

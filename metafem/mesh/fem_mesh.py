@@ -102,10 +102,19 @@ def _dedup_positions(pos: np.ndarray, tol: float):
 
 
 def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
-                           max_inflation: float = 4.0):
+                           max_inflation: float = 4.0, pad_axis0: int = 1):
     """If every control point quantizes to a regular per-axis lattice with
     acceptable inflation, renumber row-major over the full lattice (ghost
-    slots where no cp exists).  Returns (gid, coords, occupied, shape)."""
+    slots where no cp exists).  Returns (gid, coords, occupied, shape).
+
+    ``pad_axis0``: round the LEADING (most-significant) lattice axis up
+    to a multiple — extra all-ghost planes at the end of the numbering.
+    Axis 0 never enters the row-major strides, so pair offsets are
+    unchanged; the point is multi-device sharding: with S[0] divisible
+    by the mesh size, n_cp, the DOF vector and the dense block-offset
+    storage all split evenly over the device mesh (uneven shardings are
+    rejected by device_put and silently REPLICATED by GSPMD sharding
+    constraints in current JAX — padding is the only sound route)."""
     n_real, dim = rep.shape
     bail = (gid, rep, np.ones(n_real, dtype=bool), None)
     axes = []
@@ -138,6 +147,14 @@ def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
     if len(np.unique(idx)) != n_real:
         return bail                                   # collision: bail
 
+    if pad_axis0 > 1:
+        c0, h, nd0 = axes[0]
+        nd0p = -(-nd0 // pad_axis0) * pad_axis0
+        # idx is unaffected: axis 0 is most significant (its size is not
+        # a stride); the pad planes are appended ghost slots
+        axes[0] = (c0, h, nd0p)
+        lattice_size = lattice_size // nd0 * nd0p
+
     coords = np.full((lattice_size, rep.shape[1]), np.nan)
     coords[idx] = rep
     occupied = np.zeros(lattice_size, dtype=bool)
@@ -146,7 +163,8 @@ def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
 
 
 def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
-                  boundary_facets: Dict[int, np.ndarray]) -> WPMesh:
+                  boundary_facets: Dict[int, np.ndarray],
+                  lattice_pad: int = 1) -> WPMesh:
     """Generate high-order control points for all elements of ``geo`` and
     link boundary facet groups to (element, local face)."""
     et = disc.element_type
@@ -175,7 +193,8 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
     # gather-speed SpMV on TPU.  Ghosts cost ~25-50% extra rows; their
     # coordinates are NaN (coordinate-based selections skip them), their
     # DOF rows are regularized with a unit diagonal and stay zero.
-    gid, rep, occupied, lattice_shape = _try_lattice_numbering(gid, rep, tol)
+    gid, rep, occupied, lattice_shape = _try_lattice_numbering(
+        gid, rep, tol, pad_axis0=lattice_pad)
 
     el_cp = gid.reshape(n_el, n_itp)
 

@@ -100,4 +100,20 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
     if "user" in state:
         out["user"] = jax.tree_util.tree_map(
             lambda v: jax.device_put(jnp.asarray(v), rep), state["user"])
+    # frozen cross-step caches: every committed leaf must land on the
+    # mesh or pjit rejects the mixed-device state.  The MG state gets
+    # its fine level sharded (rowshard.shard_mg_state); the per-td
+    # linear-tangent stack row-blocks its storage axis (it is combined
+    # into the already-constrained K_linear); the rest replicates.
+    if state.get("mg_frozen") is not None:
+        from .rowshard import shard_mg_state
+        out["mg_frozen"] = shard_mg_state(state["mg_frozen"], mesh)
+    if state.get("K_linear_td") is not None:
+        from .rowshard import put_divisible
+        out["K_linear_td"] = put_divisible(
+            state["K_linear_td"], NamedSharding(mesh, P(None, "el")), mesh)
+    for k in ("mg_mask", "refined", "auxmg_tree"):
+        if state.get(k) is not None:
+            out[k] = jax.tree_util.tree_map(
+                lambda v: jax.device_put(jnp.asarray(v), rep), state[k])
     return out

@@ -44,6 +44,16 @@ def rowblock_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(*((None,) * (ndim - 1) + ("el",))))
 
 
+def lattice_sharding(mesh: Mesh, ndim: int, lead: int = 1) -> NamedSharding:
+    """Shard the FIRST spatial axis of a lattice-shaped array over 'el'
+    (``lead`` leading channel axes stay replicated): [C, *S] smoother
+    diagonals, [C, C, *S] channel blocks, [1, *S] masks.  A 1-D domain
+    decomposition of the lattice — the stencil smoother's pad+static-
+    slice shifts become GSPMD halo exchanges over the mesh axis."""
+    spec = (None,) * lead + ("el",) + (None,) * (ndim - lead - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
 def constrain(mesh: Optional[Mesh], v):
     """with_sharding_constraint to the row-block layout (no-op without
     a mesh, so call sites stay unconditional)."""
@@ -51,6 +61,86 @@ def constrain(mesh: Optional[Mesh], v):
         return v
     return jax.lax.with_sharding_constraint(
         v, rowblock_sharding(mesh, v.ndim))
+
+
+def put_divisible(v, sharding: NamedSharding, mesh: Mesh):
+    """device_put with the given sharding when every sharded axis size
+    divides the mesh extent; replicate otherwise.  Uneven shardings are
+    a hard error in device_put and are silently DROPPED (replicated) by
+    with_sharding_constraint in current JAX, so callers that want the
+    split must make sizes divisible first — structured domains do so
+    via ``mesh_classical(lattice_pad=n_devices)``."""
+    spec = sharding.spec
+    n_dev = mesh.devices.size
+    for axis, name in enumerate(spec):
+        if name is not None and v.shape[axis] % n_dev != 0:
+            return jax.device_put(v, NamedSharding(mesh, P()))
+    return jax.device_put(v, sharding)
+
+
+def shard_mg_state(mg_state, mesh: Mesh):
+    """Place a frozen multigrid state tuple (multigrid.mg_setup) onto the
+    device mesh: the FINE level's arrays are sharded — the assembled
+    operator's storage row-blocked over 'el', the smoother diagonal /
+    channel blocks / occupancy mask split along the first lattice axis —
+    while the coarser (Galerkin) levels stay replicated: level 1 is
+    already 2^dim x smaller and the V-cycle spends ~90% of its time in
+    the fine smoother, so sharding only level 0 captures the memory and
+    bandwidth win without fragmenting the tiny coarse stencils.  Arrays
+    whose split axis does not divide the mesh fall back to replication
+    (see put_divisible; build the domain with lattice_pad=n_devices to
+    guarantee the split)."""
+    if mg_state is None:
+        return None
+    rep = NamedSharding(mesh, P())
+    out = []
+    for level, entry in enumerate(mg_state):
+        e = {}
+        for k, v in entry.items():
+            if level == 0 and k == "A":
+                e[k] = jax.tree_util.tree_map(
+                    lambda a: put_divisible(
+                        a, rowblock_sharding(mesh, a.ndim), mesh), v)
+            elif level == 0 and k in ("inv_diag", "mask"):
+                e[k] = put_divisible(
+                    v, lattice_sharding(mesh, v.ndim, 1), mesh)
+            elif level == 0 and k == "inv_diag_blk":
+                e[k] = put_divisible(
+                    v, lattice_sharding(mesh, v.ndim, 2), mesh)
+            else:
+                e[k] = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, rep), v)
+        out.append(e)
+    return tuple(out)
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedMGOperator:
+    """MG-preconditioned operator (multigrid.MGOperator: A ∘ M) whose
+    products land row-sharded.  Constraining the two operator outputs is
+    the only annotation the Krylov/Chebyshev recurrences need: every
+    axpy/dot downstream inherits the layout (dots become local-dot +
+    psum), and GSPMD propagates the sharding back INTO the V-cycle —
+    the fine-level stencil smoother's pad+slice shifts lower to halo
+    exchanges instead of gathers.  Coarse-level work may be resharded
+    or replicated by XLA; those arrays are tiny by construction."""
+
+    def __init__(self, op, mesh: Mesh):
+        self.op = op
+        self.mesh = mesh
+
+    def tree_flatten(self):
+        return (self.op,), (self.mesh,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    def mv(self, v):
+        return constrain(self.mesh, self.op.mv(v))
+
+    def apply_m(self, y):
+        return constrain(self.mesh, self.op.apply_m(y))
 
 
 @jax.tree_util.register_pytree_node_class

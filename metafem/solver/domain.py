@@ -195,9 +195,15 @@ class FEM_Domain:
 
     def mesh_classical(self, wp_ids: Optional[Sequence[int]] = None,
                        itp_order: int = 1, itg_order: int = 2,
-                       itp_type: str = "Lagrange") -> None:
+                       itp_type: str = "Lagrange",
+                       lattice_pad: int = 1) -> None:
         """Build element tables + runtime mesh (mesh_Classical,
-        unstructured_mesh/2_Interface.jl:7-39)."""
+        unstructured_mesh/2_Interface.jl:7-39).
+
+        ``lattice_pad``: round the leading lattice axis up to a multiple
+        (extra ghost planes) so the DOF vector / K storage split evenly
+        over an N-device mesh — pass the device count when the domain
+        will be row-sharded (parallel/rowshard.py)."""
         ids = range(len(self.workpieces)) if wp_ids is None else wp_ids
         for wp_id in ids:
             wp = self.workpieces[wp_id]
@@ -206,7 +212,8 @@ class FEM_Domain:
             wp.disc = initialize_classical_element(
                 self.dim, wp.geo.shape, itp_order,
                 wp.local_assembly.max_sd_order, itg_order, itp_type)
-            wp.mesh = build_wp_mesh(wp.geo, wp.disc, wp.boundary_facets)
+            wp.mesh = build_wp_mesh(wp.geo, wp.disc, wp.boundary_facets,
+                                    lattice_pad=lattice_pad)
             # coordinate columns (built-in controlpoint vars x, y, z)
             for d in range(self.dim):
                 wp.mesh.fields[_COORD_NAMES[d]] = wp.mesh.cp_coords[:, d]

@@ -80,8 +80,13 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     every solver vector are sharded along their row/storage axis, so
     assembly lands as a ReduceScatter onto the shards, the SpMV is
     row-parallel, and the Krylov dots psum over the mesh.  Pass a state
-    placed by ``shard_domain_state`` and jacobi preconditioning (the
-    lattice-MG state is replicated; sharding it is a separate layout).
+    placed by ``shard_domain_state``.  Works with both preconditioners:
+    'jacobi' (pure row-parallel Krylov) and 'mg' — the fine-level
+    V-cycle smoother runs sharded over the mesh (stencil shifts lower
+    to halo exchanges; shard_domain_state places a frozen ``setup_mg``
+    state with the fine level split, rowshard.shard_mg_state), which is
+    the production scale-out path: Jacobi alone cannot converge the
+    O(h^-2)-conditioned tangent at the sizes that need >1 chip.
     """
     pattern = domain.pattern
     ga = domain.time_discretization
@@ -102,12 +107,10 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
     if rowshard_mesh is not None:
-        if precond != "jacobi":
-            raise ValueError("rowshard_mesh requires precond='jacobi' "
-                             "(the MG lattice state is replicated)")
-        from ..parallel.rowshard import RowShardedOp, constrain
+        from ..parallel.rowshard import (RowShardedOp, RowShardedMGOperator,
+                                         constrain)
     else:
-        RowShardedOp = None
+        RowShardedOp = RowShardedMGOperator = None
         constrain = lambda _mesh, v: v
 
     @jax.jit
@@ -186,6 +189,10 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
             if mg_hier is not None:
                 from ..linsolve import multigrid
                 op = multigrid.MGOperator(A, mg_state, mg_hier)
+                if RowShardedMGOperator is not None:
+                    # scale-out MG: the fine-level smoother runs sharded
+                    # (halo exchanges over the mesh), Krylov dots psum
+                    op = RowShardedMGOperator(op, rowshard_mesh)
                 for _ in range(max_pass):
                     y_i, _, _ = sv_func(op, rr, tol=inner_tol(rr),
                                         maxiter=maxiter, **sv_kwargs)

@@ -16,14 +16,16 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def main(nel_side=56, tol=1e-6):
+def main(nel_side=56, tol=1e-6, forcing=1e-2):
+    import os
+
     import jax
     import jax.numpy as jnp
 
     import metafem as mf
     from metafem import Bilinear
     from metafem.solver.domain import FEM_Domain
-    from metafem.linsolve import krylov, twofloat as tf
+    from metafem.linsolve import krylov, multigrid, twofloat as tf
 
     t0 = time.perf_counter()
 
@@ -71,7 +73,9 @@ def main(nel_side=56, tol=1e-6):
     dom.converge_tol = tol
     dom.freeze_linear_tangent()
     tick("freeze_linear_tangent")
-    dom.setup_mg()
+    # V-cycle only here; the spectrum is tuned ONCE, at the converged
+    # tangent (bench.py flow) — tuning twice paid the scan twice
+    dom.setup_mg(tune=False)
     tick("setup_mg")
     dom.freeze_refined_residual()
     tick("freeze_refined_residual")
@@ -89,12 +93,13 @@ def main(nel_side=56, tol=1e-6):
 
     dom.x = np.asarray(tf.df_to_f64(x_c))
     dom.setup_mg()
-    tick("re-tune mg at converged state")
-    sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
-          else krylov.bicgstab)
+    tick("tune mg at converged state")
+    cheb = getattr(dom, "_mg_cheb", None)
+    sv = krylov.chebyshev if cheb else krylov.bicgstab
     print(f"[brick3d] inner solver: {sv.__name__}", flush=True)
+    state = dom._runtime_state()
     step = dom.make_refined_step(sv_func=sv, maxiter=60, max_refine=10,
-                                 max_pass=1)
+                                 max_pass=1, forcing=forcing)
 
     def timed(eps):
         x1 = tf.DF(x_c.hi * np.float32(1.0 + eps), x_c.lo)
@@ -111,11 +116,27 @@ def main(nel_side=56, tol=1e-6):
         print(f"[brick3d] warm step {dt*1e3:.0f} ms  res={r:.2e} "
               f"refines={it}", flush=True)
     dt = float(np.median([t for t, _, _ in results]))
-    print(json.dumps({"n_dof": n, "step_ms": dt * 1e3,
-                      "dofs_per_sec": n / dt,
-                      "residual": results[-1][1]}))
+    record = {"metric": "brick3d_newton_step_tol1e-6",
+              "n_dof": n, "step_ms": dt * 1e3,
+              "dofs_per_sec": n / dt,
+              "residual": results[-1][1],
+              "inner_solver": sv.__name__,
+              "cheb_interval": (list(map(float, cheb[0])) if cheb
+                                else None),
+              "cheb_rate": (float(cheb[1]) if cheb else None),
+              "forcing": forcing,
+              "step_refines": [it for _, _, it in results],
+              "mg_shapes": [list(s) for s in
+                            multigrid.hierarchy_for_domain(dom).shapes]}
+    print(json.dumps(record))
+    out = os.path.join(os.path.dirname(__file__), os.pardir,
+                       "BENCH_brick3d.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
+    import os
     main(nel_side=int(sys.argv[1]) if len(sys.argv) > 1 else 56,
-         tol=float(sys.argv[2]) if len(sys.argv) > 2 else 1e-6)
+         tol=float(sys.argv[2]) if len(sys.argv) > 2 else 1e-6,
+         forcing=float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2)

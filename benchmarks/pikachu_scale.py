@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                 "examples"))
 
 import jax
+
+# persistent compilation cache (same as bench.py): the freeze/step
+# programs are identical across runs of this benchmark
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 
 import pikachu_3d
@@ -60,28 +67,42 @@ def main(refine=2, tol=1e-6):
     sv = (krylov.chebyshev if getattr(dom, "_auxmg_cheb", None)
           else krylov.bicgstab)
     print(f"[pikachu] inner solver: {sv.__name__}", flush=True)
+    # ONE refinement per device dispatch (max_refine=1), host-looped:
+    # iterative refinement is stateless in x, so chaining single-refine
+    # calls reproduces the fused while_loop exactly — and at 1.36M DOF
+    # unstructured the fused loop is a multi-minute dispatch, which the
+    # remote-device transport does not survive (TPU worker wedge,
+    # PERFORMANCE.md).  Bounding per-dispatch work is the fix.
     step = dom.make_refined_step(sv_func=sv, precond="auxmg",
-                                 maxiter=60, max_refine=12, max_pass=1)
+                                 maxiter=30, max_refine=1, max_pass=1)
     state = dom._runtime_state()
     x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
 
-    def run(eps):
-        x1 = tf.DF(x0.hi * np.float32(1.0 + eps), x0.lo)
-        jax.block_until_ready(x1)
+    def converge(x1, max_refine=16, label=""):
+        """Host loop of single-refine dispatches to converge_tol."""
         t1 = time.perf_counter()
-        x_new, dx, res, it = step(state, x1, jnp.float64(0.0),
-                                  jnp.float64(1.0))
-        r = float(res)
-        return time.perf_counter() - t1, r, int(it), x_new
+        r_prev = np.inf
+        for k in range(max_refine):
+            x1, _, res, _ = step(state, x1, jnp.float64(0.0),
+                                 jnp.float64(1.0))
+            r = float(res)
+            print(f"[pikachu]   {label}refine {k}: res={r:.2e} "
+                  f"({time.perf_counter() - t1:.1f}s)", flush=True)
+            if r < tol or r >= 0.9 * r_prev:
+                break
+            r_prev = r
+        return time.perf_counter() - t1, r, k + 1, x1
 
-    dt, r, it, x_new = run(0.0)
-    tick(f"step compile+run (res={r:.2e}, iters={it})")
+    dt, r, it, x_new = converge(x0, label="cold ")
+    tick(f"converge from cold (res={r:.2e}, refines={it})")
     times = []
     for k in range(3):
-        dt, r, it, x_new = run(1e-4 * (k + 1))
+        x1 = tf.DF(x_new.hi * np.float32(1.0 + 1e-4 * (k + 1)), x_new.lo)
+        jax.block_until_ready(x1)
+        dt, r, it, x_new = converge(x1)
         times.append(dt)
         print(f"[pikachu] warm step {dt*1e3:.0f} ms  res={r:.2e} "
-              f"iters={it}", flush=True)
+              f"refines={it}", flush=True)
 
     # COMSOL line sanity on the converged solution
     if not isinstance(x_new, tf.DF):   # f64 residual mode (CPU)

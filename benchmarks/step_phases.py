@@ -1,0 +1,324 @@
+"""Warm-step phase breakdown (the MFU story): decompose the production
+refined step at ~1.28M DOF into its device phases, each timed honestly
+(data-dependent chains, perturbed inputs, scalar readbacks), and roll
+them up against the measured full step and the HBM roofline.
+
+BASELINE.md promises assembly & SpMV kernels >= 70% of roofline; this
+probe shows what fraction of the *step* is roofline-bound traffic and
+where the rest goes:
+
+    phase           per-call   calls/step   total   % step   roofline%
+    A.mv (fine SpMV)   ...        ...         ...     ...       ...
+    V-cycle            ...
+    df residual        ...
+    nl_grad assembly   ...
+    chebyshev solve    ...
+    (reconciliation: sum of phases vs measured step)
+
+Usage: python benchmarks/step_phases.py [2d|3d]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+HBM_GBPS = 819.0        # TPU v5e chip HBM bandwidth
+
+
+def build_2d():
+    import jax.numpy as jnp
+    import metafem as mf
+    from metafem import Bilinear
+    from metafem.solver.domain import FEM_Domain
+    nel = (800, 400)
+    L1, L2 = 0.02, 0.01
+    vert, conn = mf.make_square((L1, L2), nel)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(2, dtype=jnp.float32)
+    wp = dom.add_workpiece(geo)
+    eps = 1e-9
+    ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
+                            | (c[:, 0] > L1 - eps))
+    top = mf.select_facets(geo, lambda c: c[:, 1] > L2 - eps)
+    bg_fix = dom.add_boundary(wp, ends)
+    bg_top = dom.add_boundary(wp, top)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    n = dom.sym("n")
+    i = mf.index("i")
+    T0 = 273.15
+    dom.assign_workpiece_weakform(
+        wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
+    dom.assign_boundary_weakform(
+        wp, bg_fix, 1000.0 * Bilinear(T, 900.0 + T0 - T)
+        + 3.0 * Bilinear(T, n[i] * T.d(i)))
+    dom.assign_boundary_weakform(
+        wp, bg_top, 50.0 * Bilinear(T, 50.0 + T0 - T)
+        + 0.7 * 5.669e-8 * Bilinear(T, (50.0 + T0) ** 4 - T ** 4))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    dom.mesh_classical(itp_order=2, itg_order=5, itp_type="Serendipity")
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh = dom.workpieces[wp].mesh
+    dom.set_field(wp, "T", np.full(mesh.n_cp, 50.0 + T0))
+    dom.refresh_fields()
+    dom.assemble_x()
+    return dom
+
+
+def build_3d(nel_side=56):
+    import jax.numpy as jnp
+    import metafem as mf
+    from metafem import Bilinear
+    from metafem.solver.domain import FEM_Domain
+    nel = (nel_side,) * 3
+    L = 1.0
+    vert, conn = mf.make_brick((L, L, L), nel)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(3, dtype=jnp.float32)
+    wp = dom.add_workpiece(geo)
+    eps = 1e-9
+    bottom = mf.select_facets(geo, lambda c: c[:, 2] < eps)
+    top = mf.select_facets(geo, lambda c: c[:, 2] > L - eps)
+    bg_b = dom.add_boundary(wp, bottom)
+    bg_t = dom.add_boundary(wp, top)
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    i = mf.index("i")
+    dom.assign_workpiece_weakform(
+        wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
+    dom.assign_boundary_weakform(wp, bg_b, 1000.0 * Bilinear(T, 800.0 - T))
+    dom.assign_boundary_weakform(
+        wp, bg_t, 50.0 * Bilinear(T, 300.0 - T)
+        + 0.7 * 5.669e-8 * Bilinear(T, 300.0 ** 4 - T ** 4))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    dom.mesh_classical(itp_order=2, itg_order=3, itp_type="Serendipity")
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh = dom.workpieces[wp].mesh
+    dom.set_field(wp, "T", np.full(mesh.n_cp, 300.0))
+    dom.set_field(wp, "s", np.full(mesh.n_cp, 100.0))
+    dom.refresh_fields()
+    dom.assemble_x()
+    return dom
+
+
+def chain_time(fn, x0, n=20, reps=3):
+    """Differential data-dependent chain: per-call seconds for y=fn(y)."""
+    import jax
+
+    def chain(x, k):
+        for _ in range(k):
+            x = fn(x)
+        return x
+
+    import functools
+    c_long = jax.jit(functools.partial(chain, k=n))
+    c_short = jax.jit(functools.partial(chain, k=n // 2))
+    jax.block_until_ready(c_long(x0))
+    jax.block_until_ready(c_short(x0))
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(c_long(x0))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(c_short(x0))
+        t_short = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (n - n // 2))
+    return best
+
+
+def main(which="2d"):
+    import jax
+    import jax.numpy as jnp
+    from metafem.linsolve import krylov, multigrid, twofloat as tf
+    from metafem.linsolve.block_offset import OffsetMatrix
+
+    t0 = time.perf_counter()
+
+    def tick(msg):
+        nonlocal t0
+        print(f"[phases] {msg}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+
+    dom = build_2d() if which == "2d" else build_3d()
+    n = dom.pattern.basicfield_size
+    layout = dom.pattern.offset_layout
+    print(f"n_dof = {n}  n_storage = {layout.n_storage}", flush=True)
+    tick("setup")
+
+    dom.converge_tol = 1e-6
+    dom.freeze_linear_tangent()
+    dom.setup_mg(tune=False)
+    dom.freeze_refined_residual()
+    tick("freezes")
+
+    # converge once, then tune at the converged tangent (bench.py flow)
+    step_c = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
+                                   max_refine=10, max_pass=1)
+    state = dom._runtime_state()
+    x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
+    x_c, _, res_c, _ = step_c(state, x_c, jnp.float64(0.0),
+                              jnp.float64(1.0))
+    jax.block_until_ready(x_c.hi)
+    tick(f"converge once (res={float(res_c):.2e})")
+    dom.x = np.asarray(tf.df_to_f64(x_c))
+    dom.setup_mg()
+    tick("tune mg")
+    cheb = getattr(dom, "_mg_cheb", None)
+    assert cheb is not None, "tuner rejected — phase model assumes Chebyshev"
+    interval, rate = cheb
+    forcing = 1e-2
+    n_cheb = int(np.clip(np.ceil(np.log(forcing / 2.0) / np.log(rate)),
+                         2, 60))
+    state = dom._runtime_state()
+
+    # ---- the measured full step --------------------------------------
+    step = dom.make_refined_step(sv_func=krylov.chebyshev, maxiter=60,
+                                 max_refine=10, max_pass=1)
+
+    def timed_step(eps):
+        x1 = tf.DF(x_c.hi * np.float32(1.0 + eps), x_c.lo)
+        jax.block_until_ready(x1)
+        t1 = time.perf_counter()
+        _, _, res, it = step(state, x1, jnp.float64(0.0), jnp.float64(1.0))
+        r = float(res)
+        return time.perf_counter() - t1, r, int(it)
+
+    timed_step(1e-4)
+    tick("step compile+warm")
+    step_res = [timed_step(1e-4 * (k + 2)) for k in range(3)]
+    step_ms = float(np.median([t for t, _, _ in step_res])) * 1e3
+    refines = int(np.median([it for _, _, it in step_res]))
+    tick(f"full step: {step_ms:.0f} ms, {refines} refines")
+
+    # ---- phase primitives ---------------------------------------------
+    # tangent at the converged state (what the warm step solves around)
+    ga = dom.time_discretization
+    ga.update_time(dom.dt or 1.0, dom.pattern.max_time_level)
+    st = dict(state)
+    st["K_linear"] = dom._k_linear(st)
+    st["x_star"] = jnp.asarray(dom.x, dom.dtype)
+    _, K_total = dom._res_k(st)
+    A = OffsetMatrix.from_values(K_total.astype(dom.dtype), layout)
+    hier = multigrid.hierarchy_for_domain(dom)
+    mg_state = state["mg_frozen"]
+    op = multigrid.MGOperator(A, mg_state, hier)
+
+    v0 = jnp.asarray(np.random.default_rng(3).standard_normal(n),
+                     dom.dtype)
+
+    def norm1(f):
+        return lambda x: (lambda y: y / jnp.linalg.norm(y))(f(x))
+
+    phases = {}
+    phases["A.mv"] = chain_time(norm1(A.mv), v0)
+    tick("A.mv chain")
+    phases["vcycle"] = chain_time(
+        norm1(lambda x: multigrid.vcycle(hier, mg_state, x)), v0)
+    tick("vcycle chain")
+
+    # one Chebyshev inner solve at the tuned trip count (as in the step)
+    def cheb_solve(b):
+        y, _, _ = krylov.chebyshev(op, b, maxiter=n_cheb,
+                                   interval=interval)
+        return y
+
+    phases[f"cheb_solve({n_cheb})"] = chain_time(norm1(cheb_solve), v0,
+                                                 n=6)
+    tick("chebyshev chain")
+
+    # df32 exact residual: r = b + sum_td A_td x_td (two-float SpMVs)
+    ref = state["refined"]
+    L = dom.pattern.max_time_level
+
+    def df_residual(xhi):
+        xdf = tf.DF(xhi, jnp.zeros_like(xhi))
+        r = tf.DF(ref["b_hi"], ref["b_lo"])
+        for td in range(L + 1):
+            r = tf.df_add(r, tf.df_offset_mv(
+                tf.DF(ref["A_hi"][td], ref["A_lo"][td]), layout, xdf))
+        return r.hi / jnp.linalg.norm(r.hi)
+
+    phases["df_residual"] = chain_time(df_residual, v0)
+    tick("df residual chain")
+
+    # nonaffine tangent blocks (boundary assembly, f32)
+    dom._ensure_device_maps("nl_grad")
+    st32 = {**state, "x_star": v0,
+            "K_params": jnp.ones(L + 1, jnp.float32)}
+    run_phase = dom._run_phase
+
+    def nl_grad(xs):
+        st2 = {**st32, "x_star": xs}
+        _, K_nl = run_phase(st2, "nl_grad")
+        # data dependence via a cheap reduction folded into the carry
+        return xs * (1.0 + 0.0 * jnp.sum(K_nl))
+
+    phases["nl_grad"] = chain_time(nl_grad, v0, n=10)
+    tick("nl_grad chain")
+
+    # ---- roofline model -----------------------------------------------
+    fbytes = 4
+    mv_bytes = (layout.n_storage + 2 * n) * fbytes
+    # V-cycle: 4 fine operator applies (init + nu1-1 + residual + nu2)
+    # + coarse levels at (1/2^dim) each with the probed stencil
+    n_off = len(hier.offsets)
+    C = hier.channels
+    lvl_bytes = [mv_bytes]
+    for shp in hier.shapes[1:]:
+        pts = int(np.prod(shp))
+        lvl_bytes.append((n_off * C * C * pts + 2 * C * pts) * fbytes)
+    vc_bytes = 4 * sum(lvl_bytes[:-1]) + 2 * lvl_bytes[-1]
+    df_bytes = (L + 1) * 2 * (layout.n_storage + 2 * n) * fbytes
+    model = {"A.mv": mv_bytes, "vcycle": vc_bytes,
+             f"cheb_solve({n_cheb})": n_cheb * (vc_bytes + mv_bytes),
+             "df_residual": df_bytes}
+
+    # ---- roll-up -------------------------------------------------------
+    # per warm step: refines x (cheb_solve + apply_m vcycle + A.mv)
+    #              + (refines + 1) x (df_residual + nl_grad + norm)
+    calls = {"A.mv": refines, "vcycle": refines,
+             f"cheb_solve({n_cheb})": refines,
+             "df_residual": refines + 1, "nl_grad": refines + 1}
+    print(f"\n== warm step {step_ms:.1f} ms, {refines} refines, "
+          f"cheb trip {n_cheb}, rate {rate:.2f} ==")
+    print(f"{'phase':>18} {'ms/call':>9} {'calls':>6} {'ms/step':>9} "
+          f"{'%step':>6} {'roofline%':>9}")
+    total = 0.0
+    out_phases = {}
+    for k, sec in phases.items():
+        ms = sec * 1e3
+        c = calls.get(k, 0)
+        tot = ms * c
+        total += tot
+        roof = ""
+        rf = None
+        if k in model:
+            rf = model[k] / sec / 1e9 / HBM_GBPS * 100
+            roof = f"{rf:8.0f}%"
+        print(f"{k:>18} {ms:9.3f} {c:6d} {tot:9.1f} "
+              f"{tot / step_ms * 100:5.1f}% {roof:>9}")
+        out_phases[k] = {"ms_per_call": round(ms, 3), "calls": c,
+                         "roofline_pct": (round(rf, 1) if rf else None)}
+    print(f"{'sum of phases':>18} {'':9} {'':6} {total:9.1f} "
+          f"{total / step_ms * 100:5.1f}%")
+    print(f"{'unaccounted':>18} {'':9} {'':6} {step_ms - total:9.1f} "
+          f"{(step_ms - total) / step_ms * 100:5.1f}%")
+
+    print(json.dumps({"which": which, "n_dof": n, "step_ms": step_ms,
+                      "refines": refines, "n_cheb": n_cheb,
+                      "cheb_rate": float(rate),
+                      "phases": out_phases,
+                      "sum_ms": round(total, 1),
+                      "unaccounted_ms": round(step_ms - total, 1)}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "2d")

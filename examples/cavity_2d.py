@@ -146,10 +146,11 @@ def ghia(Re):
 
 if __name__ == "__main__":
     # Measured on the 40x40 mesh (matching the reference's own runs,
-    # 2D_Script.jl:136-142): max |du| vs Ghia = 0.0077 at Re 1000,
-    # 0.0153 at Re 3200, through the iterative (BiCGStab(l)) stack.
+    # 2D_Script.jl:136-142, Re_arr = [100, 400, 1000, 3200, 5000]):
+    # max |du| vs Ghia = 0.0077 at Re 1000, 0.0153 at Re 3200,
+    # 0.0264 at Re 5000, through the iterative (BiCGStab(l)) stack.
     dom, geo, wp, params = build(e_number=40)
-    for Re in (100, 400, 1000, 3200):
+    for Re in (100, 400, 1000, 3200, 5000):
         u_st = run_re(dom, wp, Re, params, verbose=False)
         ys, us = centerline_u(dom, wp, u_st, params)
         gy, gu = ghia(Re)

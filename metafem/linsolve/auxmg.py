@@ -272,22 +272,30 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
         jnp.asarray(np.asarray(K_total), domain.dtype), layout)
     invd = _safe_inv(A_dev.diag())
 
-    @jax.jit
-    def calibrate(A, invd):
-        v = jax.random.normal(jax.random.PRNGKey(7),
-                              (pattern.basicfield_size,), invd.dtype)
-        v = v / jnp.linalg.norm(v)
+    # host-chunked power iteration (multigrid._auto_chunk): at 1M+ DOF
+    # an n_power-long scan of full-size SpMVs in ONE dispatch risks the
+    # remote-transport wedge the spectrum/tuner scans also avoid
+    cal_chunk = max(1, min(multigrid._auto_chunk(
+        pattern.basicfield_size, n_power), n_power))
 
+    @jax.jit
+    def cal_steps(A, invd, v):
         def body(v, _):
             u = invd * A.mv(v)
             lam = jnp.linalg.norm(u)
             return u / jnp.where(lam == 0, 1.0, lam), lam
 
-        _, lams = jax.lax.scan(body, v, None, length=n_power)
-        lam = lams[-1] * 1.1
-        return (4.0 / 3.0) / jnp.where(lam == 0, 1.0, lam)
+        v, lams = jax.lax.scan(body, v, None, length=cal_chunk)
+        return v, lams[-1]
 
-    omega = calibrate(A_dev, invd)
+    v = jax.random.normal(jax.random.PRNGKey(7),
+                          (pattern.basicfield_size,), invd.dtype)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(-(-n_power // cal_chunk)):
+        v, lam = cal_steps(A_dev, invd, v)
+        jax.block_until_ready(lam)
+    lam = lam * 1.1
+    omega = (4.0 / 3.0) / jnp.where(lam == 0, 1.0, lam)
     desc = AuxDesc(dim=mesh.dim, channels=C, n_cp=n_cp,
                    n_lat=int(np.prod(aux_shape)), aux_shape=aux_shape,
                    corner_offs=corner_offs, nu1=nu1, nu2=nu2)

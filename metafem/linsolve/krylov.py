@@ -160,14 +160,33 @@ def chebyshev(A: SparseMatrix, b, x0=None, tol=None, maxiter=8, pl=None,
     (fixed trip count — pick ``maxiter`` from the bound:
     iters = ln(reduction) / ln(rho_cheb)); the signature matches the
     solver menu so it drops into every precond='mg'/'auxmg' path."""
+    carry = chebyshev_init(A, b, x0=x0, pl=pl, interval=interval)
+    x, r, _, _ = chebyshev_steps(A, carry, maxiter, interval, pl=pl)
+    return x, jnp.asarray(maxiter, jnp.int32), _nn(r)
+
+
+def chebyshev_init(A, b, x0=None, pl=None, interval=(0.05, 1.95)):
+    """Initial (x, r, d, rho) recurrence carry for chebyshev_steps —
+    split out so callers can bound per-dispatch work: a long Chebyshev
+    solve in ONE dispatch can exceed what the remote-device transport
+    tolerates (the TPU worker wedges on multi-minute dispatches), so
+    e.g. multigrid.tune_chebyshev runs the trial solves as host-level
+    chunks of chebyshev_steps, carrying this state across calls."""
     lo, hi = interval
     theta = jnp.asarray((hi + lo) / 2.0, b.dtype)
-    delta = jnp.asarray((hi - lo) / 2.0, b.dtype)
-    sigma1 = theta / delta
+    sigma1 = theta / jnp.asarray((hi - lo) / 2.0, b.dtype)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = _pl(pl, b - A.mv(x)) if x0 is not None else _pl(pl, b)
-    d = r / theta
-    rho0 = 1.0 / sigma1
+    return x, r, r / theta, 1.0 / sigma1
+
+
+def chebyshev_steps(A, carry, n, interval, pl=None):
+    """Advance the Chebyshev recurrence ``n`` iterations; returns the
+    carry (resumable: composing chunks reproduces one long solve)."""
+    lo, hi = interval
+    theta = jnp.asarray((hi + lo) / 2.0, carry[0].dtype)
+    delta = jnp.asarray((hi - lo) / 2.0, carry[0].dtype)
+    sigma1 = theta / delta
 
     def body(_, c):
         x, r, d, rho_prev = c
@@ -177,8 +196,7 @@ def chebyshev(A: SparseMatrix, b, x0=None, tol=None, maxiter=8, pl=None,
         d = (rho_k * rho_prev) * d + (2.0 * rho_k / delta) * r
         return x, r, d, rho_k
 
-    x, r, _, _ = jax.lax.fori_loop(0, maxiter, body, (x, r, d, rho0))
-    return x, jnp.asarray(maxiter, jnp.int32), _nn(r)
+    return jax.lax.fori_loop(0, n, body, carry)
 
 
 # ---------------------------------------------------------------------------

@@ -621,8 +621,17 @@ class MGOperator:
         return vcycle(self.hier, self.state, y)
 
 
+def _auto_chunk(n_dof: int, n_iter: int) -> int:
+    """Operator applications per device dispatch for the setup scans.
+    The remote-device transport wedges (TPU worker crash) on dispatches
+    past ~1 minute; at production sizes one preconditioned apply is
+    1-100 ms, so a whole n_iter scan in one dispatch is fine below
+    ~400k DOF and must be split above it."""
+    return n_iter if n_dof < 400_000 else 4
+
+
 def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
-                      seed: int = 11) -> tuple:
+                      seed: int = 11, chunk: int = None) -> tuple:
     """(lam_min, lam_max) estimate for the MG-preconditioned operator
     A·M by two power iterations: lam_max directly, lam_min through the
     shifted operator s·I - A·M (s slightly above lam_max).  One-time
@@ -632,7 +641,15 @@ def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
     enough: penalty boundary rows leave isolated outlier eigenvalues
     (measured radius 1.18 on a clean 2D thermal lattice), and an
     enclosure containing 0 diverges Chebyshev — the edges must be
-    measured separately."""
+    measured separately.
+
+    ``chunk``: iterations per device dispatch (default: _auto_chunk) —
+    the scan is split into host-level calls carrying (v, lam) on the
+    device, so no dispatch exceeds ``chunk`` operator applications."""
+    if chunk is None:
+        chunk = _auto_chunk(n_dof, n_iter)
+    chunk = max(1, min(chunk, n_iter))
+    n_calls = -(-n_iter // chunk)
 
     # ONE compiled program for both edges: u = alpha*v + beta*A.mv(v)
     # with (alpha, beta) traced — (0, 1) gives lam_max, (s, -1) the
@@ -640,10 +657,7 @@ def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
     # this host (each V-cycle program is seconds of backend compile),
     # so constants that vary between calls must be arguments.
     @jax.jit
-    def run(op, alpha, beta):
-        v = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,), dtype)
-        v = v / jnp.linalg.norm(v)
-
+    def run(op, v, lam, alpha, beta):
         def body(c, _):
             v, _ = c
             u = alpha * v + beta * op.mv(v)
@@ -651,20 +665,28 @@ def estimate_spectrum(op, n_dof: int, dtype, n_iter: int = 24,
             # power iteration tracks |lambda|
             return (u / jnp.where(lam == 0, 1.0, lam), lam), None
 
-        (v, lam), _ = jax.lax.scan(
-            body, (v, jnp.asarray(0.0, dtype)), None, length=n_iter)
-        return lam
+        (v, lam), _ = jax.lax.scan(body, (v, lam), None, length=chunk)
+        return v, lam
+
+    def power(alpha, beta):
+        v = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,), dtype)
+        v = v / jnp.linalg.norm(v)
+        lam = jnp.asarray(0.0, dtype)
+        for _ in range(n_calls):
+            v, lam = run(op, v, lam, alpha, beta)
+            jax.block_until_ready(lam)      # bound in-flight work
+        return float(lam)
 
     zero = jnp.asarray(0.0, dtype)
     one = jnp.asarray(1.0, dtype)
-    lam_max = float(run(op, zero, one))
+    lam_max = power(zero, one)
     s = 1.05 * lam_max
-    lam_min = s - float(run(op, jnp.asarray(s, dtype), -one))
+    lam_min = s - power(jnp.asarray(s, dtype), -one)
     return lam_min, lam_max
 
 
 def tune_chebyshev(op, n_dof: int, dtype, spectrum,
-                   n_iter: int = 16, seed: int = 5):
+                   n_iter: int = 16, seed: int = 5, chunk: int = None):
     """(interval, measured_rate) for Chebyshev inner solves on A·M.
 
     Power-iteration edge estimates are systematically optimistic when
@@ -674,30 +696,47 @@ def tune_chebyshev(op, n_dof: int, dtype, spectrum,
     saturates (measured: rate 0.71 over 8 iters that stalls at ~0.3
     reduction per solve).  The fix is empirical: scan a few lower-edge
     candidates, measure the ACTUAL reduction of an n_iter-trip solve on
-    each (long enough to expose saturation), keep the best."""
-    from .krylov import chebyshev
+    each (long enough to expose saturation), keep the best.
+
+    ``chunk``: recurrence iterations per device dispatch (default
+    _auto_chunk) — the trial solves run as host-level chebyshev_steps
+    chunks so no dispatch exceeds ``chunk`` operator applications."""
+    from .krylov import chebyshev_init, chebyshev_steps
     lo0, hi0 = spectrum
     if not (np.isfinite(lo0) and np.isfinite(hi0) and lo0 > 0
             and hi0 > 0):
         return None
     hi_m = 1.05 * hi0
+    if chunk is None:
+        chunk = _auto_chunk(n_dof, n_iter)
+    chunk = max(1, min(chunk, n_iter))
+    n_calls = -(-n_iter // chunk)
 
     # the interval is a traced argument: ONE backend compile for all
     # lower-edge candidates (a fresh jit per candidate measured 13 s
     # each on this host)
     @jax.jit
-    def run(op, lo_t, hi_t):
+    def start(op, lo_t, hi_t):
         b = jax.random.normal(jax.random.PRNGKey(seed), (n_dof,), dtype)
-        _, _, res = chebyshev(op, b, maxiter=n_iter,
-                              interval=(lo_t, hi_t))
-        return res / (jnp.linalg.norm(b) / np.sqrt(n_dof))
+        return chebyshev_init(op, b, interval=(lo_t, hi_t)), \
+            jnp.linalg.norm(b)
+
+    @jax.jit
+    def advance(op, carry, lo_t, hi_t):
+        carry = chebyshev_steps(op, carry, chunk, (lo_t, hi_t))
+        return carry, jnp.linalg.norm(carry[1])
 
     def measure(interval):
-        red = float(run(op, jnp.asarray(interval[0], dtype),
-                        jnp.asarray(interval[1], dtype)))
+        lo_t = jnp.asarray(interval[0], dtype)
+        hi_t = jnp.asarray(interval[1], dtype)
+        carry, nb = start(op, lo_t, hi_t)
+        for _ in range(n_calls):
+            carry, nr = advance(op, carry, lo_t, hi_t)
+            jax.block_until_ready(nr)       # bound in-flight work
+        red = float(nr) / float(nb)
         if not np.isfinite(red) or red <= 0:
             return None
-        return float(min(red, 1.0) ** (1.0 / n_iter))
+        return float(min(red, 1.0) ** (1.0 / (n_calls * chunk)))
 
     best = None
     for f in (1.0, 0.4, 0.15, 0.05):

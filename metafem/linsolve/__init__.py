@@ -10,4 +10,4 @@ cuSOLVER direct solves become a scipy splu host fallback.
 from .spmv import SparseMatrix  # noqa: F401
 from .driver import iterative_solve, solver_lu, solver_qr  # noqa: F401
 from .krylov import (bicgstab, bicgstabl, cg, cgs, cgs2, gmres, idrs,  # noqa: F401
-                     lsqr, tfqmr)
+                     idrs_original, lsqr, tfqmr)

@@ -427,6 +427,77 @@ def idrs(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000, pl=None,
     return x, iters, _nn(r)
 
 
+@partial(jax.jit, static_argnames=("s",))
+def idrs_original(A: SparseMatrix, b, x0=None, tol=1e-8, maxiter=1000,
+                  pl=None, s: int = 4):
+    """IDR(s), original (non-biorthogonalized) variant: the Sonneveld &
+    van Gijzen 2008 prototype with direct s-by-s ``M c = f`` solves
+    against the full shadow matrix, instead of the incremental
+    orthogonalization ``idrs`` exploits.  Parity counterpart of the
+    reference's second IDR variant ``idrs_original!``
+    (src/solver/linear_solver/04_IDRs.jl:97-166); independent JAX
+    implementation of the published algorithm (while_loop state
+    threading; the residual recurrence follows the paper — each cycle's
+    omega step updates r = v - omega*t so r stays b - Ax exactly).
+    """
+    x, r = _prep(A, b, x0, pl)
+    n = b.shape[0]
+    P = jax.random.normal(jax.random.PRNGKey(0), (s, n), dtype=b.dtype)
+    U = jnp.zeros((s, n), b.dtype)
+    G = jnp.zeros((s, n), b.dtype)
+    M = jnp.zeros((s, s), b.dtype)
+    omega = jnp.asarray(1.0, b.dtype)
+
+    # initial space: s smoothed power steps fill U, G = A U, M = P G'
+    def init_k(k, c):
+        x, r, U, G, M, omega = c
+        u = r
+        g = _pl(pl, A.mv(r))
+        omega = _modify_omega(g, r)
+        x = x + omega * u
+        r = r - omega * g
+        U = U.at[k].set(u)
+        G = G.at[k].set(g)
+        M = M.at[:, k].set(P @ g)
+        return x, r, U, G, M, omega
+
+    x, r, U, G, M, omega = jax.lax.fori_loop(
+        0, s, init_k, (x, r, U, G, M, omega))
+
+    def cond(c):
+        x, r, U, G, M, omega, i = c
+        return (_nn(r) > tol) & (i < maxiter)
+
+    def body(c):
+        x, r, U, G, M, omega, i = c
+        # k = 0: step into G_{j+1}, refresh omega
+        f = P @ r
+        cvec = jnp.linalg.solve(M, f)
+        v = r - cvec @ G
+        q = cvec @ U
+        t = _pl(pl, A.mv(v))
+        omega = _modify_omega(t, v)
+        x = x + q + omega * v
+        r = v - omega * t
+        # k = 1..s: rebuild the s directions inside G_{j+1}
+        for k in range(s):
+            f = P @ r
+            cvec = jnp.linalg.solve(M, f)
+            v = r - cvec @ G
+            u_k = cvec @ U + omega * v
+            g_k = _pl(pl, A.mv(u_k))
+            x = x + u_k
+            r = r - g_k
+            U = U.at[k].set(u_k)
+            G = G.at[k].set(g_k)
+            M = M.at[:, k].set(P @ g_k)
+        return x, r, U, G, M, omega, i + s + 1
+
+    x, r, *_, iters = jax.lax.while_loop(
+        cond, body, (x, r, U, G, M, omega, 0))
+    return x, iters, _nn(r)
+
+
 # ---------------------------------------------------------------------------
 # restarted GMRES (05_GMRES.jl)
 # ---------------------------------------------------------------------------

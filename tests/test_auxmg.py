@@ -138,3 +138,27 @@ class TestAuxMG:
             precond="auxmg", maxiter=200)
         res = dom.update_one_step(max_iter=4)
         assert res < 1e-6
+
+
+class TestAuxMGGradedAtScale:
+    def test_refine1_newton_converges(self):
+        """Converged-SOLVE regression guard for the graded-mesh transfer
+        defaults (lump out-of-radius couplings, 0.1 corner-weight clamp,
+        diameter h-rule — auxmg.setup): at refine=0 the pikachu grading
+        is mild enough that even the broken pre-fix defaults converge;
+        the pathology (indefinite A·M / near-null Galerkin rows,
+        PERFORMANCE.md round-2 table) only expresses at refined scales.
+        refine=1 order-2 (~170k DOF) is the smallest case that exercises
+        it and still runs on the CPU suite — between the 24k-cp suite
+        test above and the 1.36M-DOF production target
+        (benchmarks/pikachu_scale.py)."""
+        dom, geo, mesh = pikachu_3d.build(itp_order=2, itg_order=5,
+                                          refine=1)
+        n = dom.pattern.basicfield_size
+        assert n >= 150_000, n
+        dom.converge_tol = 1e-6
+        dom.setup_auxmg()
+        dom.linear_solver = dom.make_iterative_solver(
+            precond="auxmg", maxiter=200)
+        res = dom.update_one_step(max_iter=4)
+        assert res < 1e-6

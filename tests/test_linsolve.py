@@ -8,8 +8,8 @@ import scipy.sparse as sp
 from metafem import linsolve
 from metafem.linsolve import SparseMatrix, iterative_solve, solver_lu
 from metafem.linsolve.krylov import (bicgstab, bicgstabl, bicgstabl_gs,
-                                     cg, cgs, cgs2, gmres, idrs, lsqr,
-                                     tfqmr)
+                                     cg, cgs, cgs2, gmres, idrs,
+                                     idrs_original, lsqr, tfqmr)
 
 
 def _to_sparse(A: sp.spmatrix) -> SparseMatrix:
@@ -46,10 +46,10 @@ class TestSpMV:
                                    A.T @ x, rtol=1e-12)
 
 
-SOLVERS_SPD = [cg, bicgstab, bicgstabl, bicgstabl_gs, idrs, gmres, lsqr,
-               cgs, cgs2, tfqmr]
-SOLVERS_NONSYM = [bicgstab, bicgstabl, bicgstabl_gs, idrs, gmres, lsqr,
-                  cgs, cgs2, tfqmr]
+SOLVERS_SPD = [cg, bicgstab, bicgstabl, bicgstabl_gs, idrs, idrs_original,
+               gmres, lsqr, cgs, cgs2, tfqmr]
+SOLVERS_NONSYM = [bicgstab, bicgstabl, bicgstabl_gs, idrs, idrs_original,
+                  gmres, lsqr, cgs, cgs2, tfqmr]
 
 
 class TestKrylov:

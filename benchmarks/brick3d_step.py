@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def main(nel_side=56, tol=1e-6, forcing=1e-2):
+def main(nel_side=56, tol=1e-6, forcing=1e-2, nu1=2, nu2=2):
     import os
 
     import jax
@@ -75,7 +75,7 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2):
     tick("freeze_linear_tangent")
     # V-cycle only here; the spectrum is tuned ONCE, at the converged
     # tangent (bench.py flow) — tuning twice paid the scan twice
-    dom.setup_mg(tune=False)
+    dom.setup_mg(tune=False, nu1=nu1, nu2=nu2)
     tick("setup_mg")
     dom.freeze_refined_residual()
     tick("freeze_refined_residual")
@@ -92,7 +92,7 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2):
     tick(f"converge once (res={float(res_c):.2e})")
 
     dom.x = np.asarray(tf.df_to_f64(x_c))
-    dom.setup_mg()
+    dom.setup_mg(nu1=nu1, nu2=nu2)
     tick("tune mg at converged state")
     cheb = getattr(dom, "_mg_cheb", None)
     sv = krylov.chebyshev if cheb else krylov.bicgstab
@@ -124,7 +124,7 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2):
               "cheb_interval": (list(map(float, cheb[0])) if cheb
                                 else None),
               "cheb_rate": (float(cheb[1]) if cheb else None),
-              "forcing": forcing,
+              "forcing": forcing, "nu": [nu1, nu2],
               "step_refines": [it for _, _, it in results],
               "mg_shapes": [list(s) for s in
                             multigrid.hierarchy_for_domain(dom).shapes]}
@@ -139,4 +139,6 @@ if __name__ == "__main__":
     import os
     main(nel_side=int(sys.argv[1]) if len(sys.argv) > 1 else 56,
          tol=float(sys.argv[2]) if len(sys.argv) > 2 else 1e-6,
-         forcing=float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2)
+         forcing=float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2,
+         nu1=int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+         nu2=int(sys.argv[5]) if len(sys.argv) > 5 else 2)

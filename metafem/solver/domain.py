@@ -491,19 +491,97 @@ class FEM_Domain:
     def update_mesh(self) -> None:
         """(Re)compute geometry tables into the runtime state pytree
         (update_Mesh analog)."""
+        self.drop_host_caches()
         self.state = {"wp": self._geometry_state(self.dtype)}
         self.refresh_fields()
 
     def refresh_fields(self) -> None:
         """Re-upload the named controlpoint columns (cheap; call after
         mutating mesh fields)."""
+        self.drop_host_caches()
         for i, wp in enumerate(self.workpieces):
             self.state["wp"][i]["fields"] = {
                 name: jnp.asarray(col, dtype=self.dtype)
                 for name, col in wp.mesh.fields.items()}
 
     def set_field(self, wp_id: int, name: str, values) -> None:
+        self.drop_host_caches()
         self.workpieces[wp_id].mesh.set_field(name, values)
+
+    # ------------------------------------------------------------------
+    # shared host-f64 freeze caches
+    # ------------------------------------------------------------------
+    def drop_host_caches(self) -> None:
+        """Invalidate the cached host-f64 geometry/field tables and
+        linear-tangent components shared by the one-time freezes
+        (freeze_linear_tangent / freeze_refined_residual / setup_auxmg).
+        Called automatically whenever mesh fields change; call manually
+        to reclaim host RAM after the freezes are done."""
+        self._host_wp64_cache = None
+        self._host_lin_td64_cache = None
+
+    def _host_wp64(self) -> list:
+        """f64 geometry + field tables built on the CPU backend, CACHED:
+        every one-time host freeze (freeze_linear_tangent on_host,
+        freeze_refined_residual, setup_auxmg's _host_tangent) consumes
+        the same tables, and at 1M+ DOF rebuilding them per freeze is
+        minutes on this host's single vCPU.  Invalidated by
+        refresh_fields / set_field / dessemble_x / update_mesh."""
+        cached = getattr(self, "_host_wp64_cache", None)
+        if cached is not None:
+            return cached
+        cpu = jax.devices("cpu")[0]
+        st_wp = self._geometry_state(jnp.float64, device=cpu)
+        with jax.default_device(cpu):
+            for i, wp in enumerate(self.workpieces):
+                st_wp[i]["fields"] = {
+                    name: jnp.asarray(np.asarray(col), dtype=jnp.float64)
+                    for name, col in wp.mesh.fields.items()}
+        self._host_wp64_cache = st_wp
+        return st_wp
+
+    def _host_lin_td64(self) -> list:
+        """Per-time-level f64 linear-gradient components (one-hot
+        K_params 'lin' assemblies) on the host, CACHED as np arrays.
+        Each entry still includes the ghost regularizer when present
+        (the 'lin' phase adds it once per run); consumers subtract it
+        per their own combine convention.  Shared by
+        freeze_linear_tangent, _host_tangent and (for fully affine
+        problems, where aff_lin == lin) freeze_refined_residual —
+        previously each re-assembled the identical operator."""
+        cached = getattr(self, "_host_lin_td64_cache", None)
+        if cached is not None:
+            return cached
+        self._build_phase_maps("lin")
+        L = self.pattern.max_time_level
+        cpu = jax.devices("cpu")[0]
+        run = jax.jit(self._run_phase, static_argnums=1)
+        comps = []
+        with jax.default_device(cpu):
+            st = self._host_phase_state(jnp.float64)
+            for td in range(L + 1):
+                one_hot = np.zeros(L + 1)
+                one_hot[td] = 1.0
+                st["K_params"] = jnp.asarray(one_hot, jnp.float64)
+                comps.append(np.asarray(run(st, "lin")[1]))
+        self._host_lin_td64_cache = comps
+        return comps
+
+    def _all_forms_affine(self) -> bool:
+        """True when every weak form is affine in x — then the 'lin'
+        phase and the refined path's 'aff_lin' phase assemble the same
+        operator and the host f64 components can be shared."""
+        for wp in self.workpieces:
+            la = wp.local_assembly
+            wfs = ([la.assembled_weakform]
+                   + list(la.assembled_boundary_weakform_pairs.values()))
+            for wf in wfs:
+                aff = wf.affine_form_ids()
+                if any(g.form_id not in aff for g in wf.linear_gradients):
+                    return False
+                if any(r.form_id not in aff for r in wf.residues):
+                    return False
+        return True
 
     def _host_phase_state(self, dtype=jnp.float64) -> dict:
         """Runtime-state pytree rebuilt from HOST sources on the CPU
@@ -512,12 +590,16 @@ class FEM_Domain:
         freeze_refined_residual's note on uncommitted arrays)."""
         cpu = jax.devices("cpu")[0]
         ga = self.time_discretization
-        st_wp = self._geometry_state(dtype, device=cpu)
+        if dtype == jnp.float64:
+            st_wp = self._host_wp64()       # cached across the freezes
+        else:
+            st_wp = self._geometry_state(dtype, device=cpu)
+            with jax.default_device(cpu):
+                for i, wp in enumerate(self.workpieces):
+                    st_wp[i]["fields"] = {
+                        name: jnp.asarray(np.asarray(col), dtype)
+                        for name, col in wp.mesh.fields.items()}
         with jax.default_device(cpu):
-            for i, wp in enumerate(self.workpieces):
-                st_wp[i]["fields"] = {
-                    name: jnp.asarray(np.asarray(col), dtype)
-                    for name, col in wp.mesh.fields.items()}
             ghost = getattr(self, "_ghost_diag", None)
             return {
                 "wp": st_wp,
@@ -543,9 +625,18 @@ class FEM_Domain:
             self._build_phase_maps(ph)
         cpu = jax.devices("cpu")[0]
         run = jax.jit(self._run_phase, static_argnums=1)
+        # linear part from the shared per-td cache (each component
+        # carries the ghost regularizer once; combine adds it once, as
+        # the device path does)
+        comps = self._host_lin_td64()
+        Kp = np.asarray(self.time_discretization.K_params, np.float64)
+        ghost = getattr(self, "_ghost_diag", None)
+        g64 = (np.asarray(ghost, np.float64) if ghost is not None
+               else 0.0)
+        K_lin = sum(Kp[td] * (c - g64) for td, c in enumerate(comps))
+        K_lin = K_lin + g64
         with jax.default_device(cpu):
             st = self._host_phase_state(jnp.float64)
-            _, K_lin = run(st, "lin")
             _, K_nl = run(st, "nl")
             return np.asarray(K_lin) + np.asarray(K_nl)
 
@@ -569,17 +660,8 @@ class FEM_Domain:
         ghost = getattr(self, "_ghost_diag", None)
         comps = []
         if on_host:
-            self._build_phase_maps("lin")
-            cpu = jax.devices("cpu")[0]
-            run = jax.jit(self._run_phase, static_argnums=1)
-            with jax.default_device(cpu):
-                st = self._host_phase_state(jnp.float64)
-                for td in range(L + 1):
-                    one_hot = np.zeros(L + 1)
-                    one_hot[td] = 1.0
-                    st["K_params"] = jnp.asarray(one_hot, jnp.float64)
-                    G = np.asarray(run(st, "lin")[1])
-                    comps.append(jnp.asarray(G, self.dtype))
+            comps = [jnp.asarray(G, self.dtype)
+                     for G in self._host_lin_td64()]
             # ghost handling matches the device path: the host 'lin'
             # run adds ghost_diag once per td when present
             if ghost is not None:
@@ -651,10 +733,9 @@ class FEM_Domain:
         # uncommitted, and a jit call outside the scope silently moves
         # them to the process default device (the TPU), shipping the f64
         # tables through the remote transport (measured: minutes).
-        st_wp = self._geometry_state(jnp.float64, device=cpu)
-        for i, wp in enumerate(self.workpieces):
-            st_wp[i]["fields"] = fields64(wp, cpu)
+        st_wp = self._host_wp64()           # cached across the freezes
         run64 = jax.jit(self._run_phase, static_argnums=1)
+        all_affine = self._all_forms_affine()
         with jax.default_device(cpu):
             cpu_maps = {ph: _maps_entry(self._host_maps[ph])
                         for ph in ("aff_lin", "aff_res")}
@@ -668,14 +749,24 @@ class FEM_Domain:
                   "user": jax.device_put(
                       jax.tree_util.tree_map(jnp.asarray, self.user_state),
                       cpu)}
-            A_list = []
-            for td in range(L + 1):
-                one_hot = np.zeros(L + 1)
-                one_hot[td] = 1.0
-                st["K_params"] = jnp.asarray(one_hot, jnp.float64)
-                A_list.append(np.asarray(run64(st, "aff_lin")[1]))
+            if all_affine:
+                # aff_lin == lin when every form is affine: share the
+                # cached per-td components (they carry the ghost
+                # regularizer once; the refined operator excludes it)
+                ghost = getattr(self, "_ghost_diag", None)
+                g64 = (np.asarray(ghost, np.float64)
+                       if ghost is not None else 0.0)
+                A_list = [c - g64 for c in self._host_lin_td64()]
+            else:
+                A_list = []
+                for td in range(L + 1):
+                    one_hot = np.zeros(L + 1)
+                    one_hot[td] = 1.0
+                    st["K_params"] = jnp.asarray(one_hot, jnp.float64)
+                    A_list.append(np.asarray(run64(st, "aff_lin")[1]))
+            st["K_params"] = jnp.asarray(np.ones(L + 1), jnp.float64)
             b64 = np.asarray(run64(st, "aff_res")[0])
-        del st, st_wp
+        del st
 
         # table views on the compute device for the per-iteration
         # nonaffine remainder.  Boundary-only nonaffinity: f64 tables
@@ -689,11 +780,7 @@ class FEM_Domain:
         wp_df = None
         if vol_nonaff:
             from .df_lowering import df_tables
-            wp64_host = self._geometry_state(jnp.float64, device=cpu)
-            for i, wp in enumerate(self.workpieces):
-                wp64_host[i]["fields"] = fields64(wp, cpu)
-            wp_df = df_tables(wp64_host, device=dev)
-            del wp64_host
+            wp_df = df_tables(self._host_wp64(), device=dev)
             wp64 = None
         else:
             wp64 = self._geometry_state(jnp.float64, device=dev,
@@ -754,6 +841,7 @@ class FEM_Domain:
         instead of paying the scan twice."""
         from ..linsolve import multigrid
         hier = multigrid.hierarchy_for_domain(self, **mg_opts)
+        self._mg_hier = hier    # steps must reuse the SAME hierarchy
         ga = self.time_discretization
         ga.update_time(self.dt or 1.0, self.pattern.max_time_level)
         self._ensure_device_maps("lin", "nl")
@@ -796,9 +884,26 @@ class FEM_Domain:
         # volume gather maps (GBs at 1M+ DOF) off the device entirely
         self._auxmg = auxmg.setup(self, self._host_tangent(), **opts)
 
+    def _coo_dev(self):
+        """Device copies of the block-offset COO-tail index arrays
+        (None, None) for lattice meshes (empty tail).  Shipped through
+        the traced state: baking them into jitted programs as constants
+        is hundreds of MB of HLO at 1M+ DOF unstructured — the remote
+        compile transport rejects the program (HTTP 413)."""
+        lo = self.pattern.offset_layout
+        if not lo.n_coo:
+            return None, None
+        cached = getattr(self, "_coo_dev_cache", None)
+        if cached is None:
+            cached = (jnp.asarray(lo.coo_rows), jnp.asarray(lo.coo_cols))
+            self._coo_dev_cache = cached
+        return cached
+
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
+        coo_rows, coo_cols = self._coo_dev()
         return {**self.state,
+                "coo_rows": coo_rows, "coo_cols": coo_cols,
                 "ghost_diag": getattr(self, "_ghost_diag", None),
                 "mg_mask": getattr(self, "_mg_mask", None),
                 "mg_frozen": getattr(self, "_mg_frozen", None),
@@ -931,3 +1036,4 @@ class FEM_Domain:
         meshes = [wp.mesh for wp in self.workpieces]
         assemblies = [wp.local_assembly for wp in self.workpieces]
         dessemble_x(np.asarray(self.x), meshes, assemblies, self.pattern)
+        self.drop_host_caches()   # solution columns live in mesh.fields

@@ -100,10 +100,26 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
     k_linear = domain._k_linear.__wrapped__
     sqrt_n = np.sqrt(pattern.basicfield_size)
 
+    def A_of(vals, state):
+        """OffsetMatrix with COO-tail indices from the traced state (see
+        make_refined_step's A_of — avoids giant HLO constants on
+        unstructured meshes)."""
+        rows = state.get("coo_rows")
+        if pattern.offset_layout.n_coo and rows is not None:
+            return OffsetMatrix(vals, rows, state["coo_cols"],
+                                pattern.offset_layout)
+        return OffsetMatrix.from_values(vals, pattern.offset_layout)
+
     mg_hier = None
     if precond == "mg":
         from ..linsolve import multigrid
-        mg_hier = multigrid.hierarchy_for_domain(domain, **(mg_opts or {}))
+        if reuse_mg and getattr(domain, "_mg_hier", None) is not None:
+            # the frozen state was built for THIS hierarchy (incl. any
+            # nu1/nu2/max_coarse overrides passed to setup_mg)
+            mg_hier = domain._mg_hier
+        else:
+            mg_hier = multigrid.hierarchy_for_domain(domain,
+                                                     **(mg_opts or {}))
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
     if rowshard_mesh is not None:
@@ -162,7 +178,7 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
                 mg_state = st["mg_frozen"]
             else:
                 from ..linsolve import multigrid
-                A0 = OffsetMatrix.from_values(K0, pattern.offset_layout)
+                A0 = A_of(K0, state)
                 mg_state = multigrid.mg_setup(mg_hier, A0,
                                               st.get("mg_mask"))
 
@@ -180,7 +196,7 @@ def make_jitted_step(domain, sv_func: Callable = krylov.bicgstab,
         def body(carry):
             dx, res_in, _, it = carry
             residue, K_total = res_of(dx)
-            A = OffsetMatrix.from_values(K_total, pattern.offset_layout)
+            A = A_of(K_total, state)
             # restart passes with true-residual recomputation (the
             # iterative_Solve! pattern; doubles as iterative refinement
             # against f32 drift in the Krylov recurrences)
@@ -292,13 +308,26 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     sdtype = domain.dtype                       # solve (tangent) precision
     bfs = pattern.basicfield_size
 
+    def A_of(vals, state):
+        """OffsetMatrix with the COO-tail indices from the traced state
+        (device arrays shipped once by _runtime_state) — NOT baked in as
+        program constants, which at 1M+ DOF unstructured is hundreds of
+        MB of HLO and overflows the remote-compile transport."""
+        rows = state.get("coo_rows")
+        if layout.n_coo and rows is not None:
+            return OffsetMatrix(vals, rows, state["coo_cols"], layout)
+        return OffsetMatrix.from_values(vals, layout)
+
     mg_hier = None
     aux_static = None
     if precond == "mg":
         from ..linsolve import multigrid
-        mg_hier = multigrid.hierarchy_for_domain(domain)
         if getattr(domain, "_mg_frozen", None) is None:
             raise RuntimeError("call domain.setup_mg() first")
+        # reuse the hierarchy the frozen state was built for (setup_mg
+        # may have overridden nu1/nu2/max_coarse)
+        mg_hier = (getattr(domain, "_mg_hier", None)
+                   or multigrid.hierarchy_for_domain(domain))
     elif precond == "auxmg":
         # unstructured meshes: frozen auxiliary-space hierarchy
         # (auxmg.py) with the fine Jacobi diagonal refreshed per tangent
@@ -416,7 +445,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 xs = x_star_of(x, dx, alpha)                    # f64
                 r = b64
                 for td in range(levels):
-                    Atd = OffsetMatrix.from_values(A64[td], layout)
+                    Atd = A_of(A64[td], state)
                     r = r + Atd.mv(xs[td])
                 st64 = {**state, "wp": _nonaff_wp64(ref), "x_star": xs,
                         "K_params": K_params64,
@@ -435,8 +464,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
 
             def body(carry):
                 dx, r64, K_nl, res_in, _, it = carry
-                A = OffsetMatrix.from_values(
-                    K_lin + K_nl.astype(sdtype), layout)
+                A = A_of(K_lin + K_nl.astype(sdtype), state)
                 rr = r64.astype(sdtype)
                 delta = solve_f32(state, A, rr,
                                   inner_tol(res_in.astype(sdtype),
@@ -509,7 +537,9 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             for td in range(levels):
                 r = tf.df_add(r, tf.df_offset_mv(
                     tf.DF(A_df.hi[td], A_df.lo[td]), layout,
-                    tf.DF(xs.hi[td], xs.lo[td])))
+                    tf.DF(xs.hi[td], xs.lo[td]),
+                    coo_rows=state.get("coo_rows"),
+                    coo_cols=state.get("coo_cols")))
             # Nonaffine residues.  Volume-nonaffine physics
             # (hyperelasticity, convection): evaluate ALL nonaffine
             # residues in two-float arithmetic over the frozen DF
@@ -563,7 +593,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
 
         def body(carry):
             dx_hi, dx_lo, r_hi, r_lo, K_nl, res_in, _, it = carry
-            A = OffsetMatrix.from_values(K_lin + K_nl, layout)
+            A = A_of(K_lin + K_nl, state)
             delta = solve_f32(state, A, r_hi, inner_tol(res_in, f32))
             dxdf = tf.df_add_f32(tf.DF(dx_hi, dx_lo),
                                  -beta32[:, None] * delta[None, :])

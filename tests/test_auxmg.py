@@ -140,6 +140,36 @@ class TestAuxMG:
         assert res < 1e-6
 
 
+class TestRefinedStepUnstructured:
+    def test_df32_refined_step_with_coo_tail(self):
+        """The pikachu production path: df32 refined step + frozen
+        aux-space MG on an UNSTRUCTURED mesh, whose block-offset layout
+        has a non-empty COO tail.  The tail's index arrays must ride the
+        traced runtime state (state['coo_rows'/'coo_cols']) — baked-in
+        constants are hundreds of MB of HLO at 1.36M DOF and overflow
+        the remote-compile transport (HTTP 413, round-3 pikachu run)."""
+        from metafem.linsolve import twofloat as tf
+
+        dom, geo, mesh = pikachu_3d.build(itp_order=2, itg_order=5,
+                                          dtype=jnp.float32)
+        layout = dom.pattern.offset_layout
+        assert layout.n_coo > 0, "expected a COO tail on the tet mesh"
+        dom.converge_tol = 1e-6
+        dom.freeze_linear_tangent()
+        dom.freeze_refined_residual()
+        dom.setup_auxmg()
+        state = dom._runtime_state()
+        assert state["coo_rows"] is not None
+        assert int(state["coo_rows"].shape[0]) == layout.n_coo
+
+        step = dom.make_refined_step(sv_func=krylov.bicgstab,
+                                     precond="auxmg", maxiter=60,
+                                     max_refine=8, max_pass=1)
+        x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
+        _, _, res, _ = step(state, x0, jnp.float64(0.0), jnp.float64(1.0))
+        assert float(res) < 1e-6, float(res)
+
+
 class TestAuxMGGradedAtScale:
     def test_refine1_newton_converges(self):
         """Converged-SOLVE regression guard for the graded-mesh transfer

@@ -53,12 +53,22 @@ def main(refine=2, tol=1e-6):
     tick("build")
     dom.converge_tol = tol
 
-    dom.freeze_linear_tangent()
-    tick("freeze_linear_tangent")
-    dom.freeze_refined_residual()
-    tick("freeze_refined_residual")
-    dom.setup_auxmg(verbose=True)
-    tick("setup_auxmg")
+    # the freezes are pure functions of (mesh, weakform, fields) — cache
+    # them on disk so a re-run after a transport/worker failure skips
+    # the ~20 min host-f64 setup wall
+    fz = f"/tmp/pikachu_freezes_r{refine}.pkl"
+    if os.path.exists(fz):
+        dom.load_freezes(fz)
+        tick(f"load_freezes({fz})")
+    else:
+        dom.freeze_linear_tangent()
+        tick("freeze_linear_tangent")
+        dom.freeze_refined_residual()
+        tick("freeze_refined_residual")
+        dom.setup_auxmg(verbose=True)
+        tick("setup_auxmg")
+        dom.save_freezes(fz)
+        tick("save_freezes")
 
     # the pikachu weak form is fully affine (conduction + convection
     # BC), so the tangent never drifts from the tuned one — Chebyshev
@@ -72,13 +82,19 @@ def main(refine=2, tol=1e-6):
     # calls reproduces the fused while_loop exactly — and at 1.36M DOF
     # unstructured the fused loop is a multi-minute dispatch, which the
     # remote-device transport does not survive (TPU worker wedge,
-    # PERFORMANCE.md).  Bounding per-dispatch work is the fix.
+    # PERFORMANCE.md).  forcing=0.3 bounds the INNER work too: the
+    # COO-tail SpMV is gather-bound (~0.3 s at 50M entries) and one
+    # Chebyshev iteration costs ~5 of them (nu=2,2 smoothing), so the
+    # default forcing's ~23-iteration solve is a ~40 s dispatch — past
+    # the worker's wedge threshold.  ~8 iterations/dispatch x more
+    # host-looped refines does the same total work in survivable pieces.
     step = dom.make_refined_step(sv_func=sv, precond="auxmg",
-                                 maxiter=30, max_refine=1, max_pass=1)
+                                 maxiter=30, max_refine=1, max_pass=1,
+                                 forcing=0.3)
     state = dom._runtime_state()
     x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
 
-    def converge(x1, max_refine=16, label=""):
+    def converge(x1, max_refine=40, label=""):
         """Host loop of single-refine dispatches to converge_tol."""
         t1 = time.perf_counter()
         r_prev = np.inf
@@ -88,7 +104,8 @@ def main(refine=2, tol=1e-6):
             r = float(res)
             print(f"[pikachu]   {label}refine {k}: res={r:.2e} "
                   f"({time.perf_counter() - t1:.1f}s)", flush=True)
-            if r < tol or r >= 0.9 * r_prev:
+            # stall guard: each refine should contract by ~forcing
+            if r < tol or r >= 0.85 * r_prev:
                 break
             r_prev = r
         return time.perf_counter() - t1, r, k + 1, x1

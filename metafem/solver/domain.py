@@ -568,9 +568,14 @@ class FEM_Domain:
         return comps
 
     def _all_forms_affine(self) -> bool:
-        """True when every weak form is affine in x — then the 'lin'
-        phase and the refined path's 'aff_lin' phase assemble the same
-        operator and the host f64 components can be shared."""
+        """True when every LINEAR gradient comes from an affine form —
+        then the 'lin' phase and the refined path's 'aff_lin' phase
+        assemble the same operator and the host f64 components can be
+        shared.  (Nonaffine forms may exist — e.g. a T^4 radiation
+        boundary — as long as all their gradients are nonlinear, which
+        is the typical case: an affine form cannot have a nonlinear
+        gradient, and a nonaffine form's linear gradients are the only
+        way the two phases diverge.)"""
         for wp in self.workpieces:
             la = wp.local_assembly
             wfs = ([la.assembled_weakform]
@@ -578,8 +583,6 @@ class FEM_Domain:
             for wf in wfs:
                 aff = wf.affine_form_ids()
                 if any(g.form_id not in aff for g in wf.linear_gradients):
-                    return False
-                if any(r.form_id not in aff for r in wf.residues):
                     return False
         return True
 
@@ -898,6 +901,48 @@ class FEM_Domain:
             cached = (jnp.asarray(lo.coo_rows), jnp.asarray(lo.coo_cols))
             self._coo_dev_cache = cached
         return cached
+
+    # ------------------------------------------------------------------
+    # freeze persistence (the one-time setup wall is host-bound minutes
+    # at 1M+ DOF; repeated runs of the same problem reload instead)
+    # ------------------------------------------------------------------
+    _FREEZE_ATTRS = ("_k_linear_td", "_refined", "_auxmg", "_auxmg_cheb",
+                     "_auxmg_spectrum", "_mg_frozen", "_mg_hier",
+                     "_mg_cheb", "_mg_spectrum")
+
+    def save_freezes(self, path: str) -> None:
+        """Persist the production freezes (linear tangent components,
+        refined f64 operator, MG / aux-MG state + tuned spectra) as a
+        pickle of host arrays.  The validity contract is the caller's:
+        reload only for the SAME mesh, weak forms, fields, and global
+        constants the freezes were computed for."""
+        import pickle
+
+        def to_np(t):
+            return jax.tree_util.tree_map(
+                lambda v: np.asarray(v) if isinstance(v, jax.Array)
+                else v, t)
+
+        blob = {name: to_np(getattr(self, name))
+                for name in self._FREEZE_ATTRS
+                if getattr(self, name, None) is not None}
+        with open(path, "wb") as f:
+            pickle.dump(blob, f, protocol=4)
+
+    def load_freezes(self, path: str) -> None:
+        """Counterpart of save_freezes: restore the frozen state onto
+        the current compute device."""
+        import pickle
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+
+        def to_dev(t):
+            return jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if isinstance(v, np.ndarray)
+                else v, t)
+
+        for name, val in blob.items():
+            setattr(self, name, to_dev(val))
 
     def _runtime_state(self) -> dict:
         ga = self.time_discretization

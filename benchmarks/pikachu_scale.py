@@ -57,10 +57,15 @@ def main(refine=2, tol=1e-6):
     # them on disk so a re-run after a transport/worker failure skips
     # the ~20 min host-f64 setup wall
     fz = f"/tmp/pikachu_freezes_r{refine}.pkl"
+    loaded = False
     if os.path.exists(fz):
-        dom.load_freezes(fz)
-        tick(f"load_freezes({fz})")
-    else:
+        try:
+            dom.load_freezes(fz)
+            loaded = True
+            tick(f"load_freezes({fz})")
+        except ValueError as e:           # stale layout fingerprint
+            print(f"[pikachu] {e}", flush=True)
+    if not loaded:
         dom.freeze_linear_tangent()
         tick("freeze_linear_tangent")
         dom.freeze_refined_residual()

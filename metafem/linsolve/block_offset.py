@@ -49,27 +49,44 @@ class PallasGroup:
 
 @dataclasses.dataclass(eq=False)  # id-hash: used as static jit aux data
 class OffsetLayout:
-    """Static (host) description of the block-offset storage."""
+    """Static (host) description of the block-offset storage.
+
+    ``blk_b > 0``: the tail is stored as dense ``blk_b x blk_b`` BSR
+    blocks instead of scalar COO entries, and ``coo_rows``/``coo_cols``
+    hold BLOCK row/col ids (length = number of blocks).  One gather
+    index then moves ``blk_b`` contiguous x values and the products run
+    dense — the fix for unstructured tails at the TPU random-gather
+    floor (~1.5e8 scalar gathers/s regardless of locality).  Requires a
+    locality cp numbering (fem_mesh._morton_renumber) to keep the block
+    fill factor low (~9x at b=8 on the pikachu tet mesh vs 57x in file
+    order)."""
     n: int                       # matrix dimension
     segments: Tuple[Segment, ...]
-    n_storage: int               # dense part + COO tail
+    n_storage: int               # dense part + tail
     n_dense: int
-    coo_rows: np.ndarray         # [n_coo] global dof rows of the tail
+    coo_rows: np.ndarray         # [n_coo] tail rows (BLOCK ids if blk_b)
     coo_cols: np.ndarray
     storage_of_slot: np.ndarray  # [nnz] logical COO slot -> storage index
     diag_storage: np.ndarray     # [n] storage index of each diagonal entry
     pallas_groups: Tuple[PallasGroup, ...] = ()
+    blk_b: int = 0               # BSR tail block size (0 = scalar COO)
 
     @property
     def n_coo(self) -> int:
         return self.coo_rows.size
+
+    @property
+    def n_block_rows(self) -> int:
+        return -(-self.n // self.blk_b)
 
 
 def build_offset_layout(wp_metas, nnz: int,
                         dense_budget_ratio: float = 6.0,
                         min_count_ratio: float = 1 / 16,
                         max_dense_offsets: int = 136,
-                        dense_min_n: int = 4096) -> OffsetLayout:
+                        dense_min_n: int = 4096,
+                        blk_b: int = 8,
+                        blk_min_tail: int = 500_000) -> OffsetLayout:
     """``wp_metas``: per workpiece a dict with dof_offset, n_cp, units
     ({unit: (dual_pos, base_pos)}), sparse_entry, unitsize, ci, cj (the
     unique cp pair arrays).
@@ -175,18 +192,44 @@ def build_offset_layout(wp_metas, nnz: int,
                 coo_slot_parts.append(slot0 + flat_sel)
 
     n_dense = base
+    use_blk = 0
     if coo_rows_parts:
         coo_rows = np.concatenate(coo_rows_parts).astype(np.int32,
                                                          copy=False)
         coo_cols = np.concatenate(coo_cols_parts).astype(np.int32,
                                                          copy=False)
         coo_slots = np.concatenate(coo_slot_parts)
-        storage_of_slot[coo_slots] = n_dense + np.arange(coo_rows.size,
-                                                         dtype=sdtype)
+        if blk_b and coo_rows.size >= blk_min_tail:
+            # BSR tail: group entries into blk_b x blk_b dense blocks
+            # over global dof ids.  Entries land at a unique in-block
+            # position (logical pairs are unique); uncovered positions
+            # are stored zeros never touched by assembly.
+            from ..native import unique_pairs
+            b = int(blk_b)
+            use_blk = b
+            bi = coo_rows.astype(np.int64) // b
+            bj = coo_cols.astype(np.int64) // b
+            nbr = -(-n // b)
+            b_rows, b_cols, inv = unique_pairs(bi, bj, nbr)
+            if nnz + n_dense + b_rows.size * b * b >= 2 ** 31 - 1:
+                storage_of_slot = storage_of_slot.astype(np.int64)
+                sdtype = np.int64
+            storage_of_slot[coo_slots] = (
+                n_dense + inv.astype(sdtype, copy=False) * (b * b)
+                + (coo_rows.astype(sdtype, copy=False) % b) * b
+                + coo_cols % b)
+            n_tail = b_rows.size * b * b
+            coo_rows = b_rows.astype(np.int32, copy=False)
+            coo_cols = b_cols.astype(np.int32, copy=False)
+        else:
+            storage_of_slot[coo_slots] = n_dense + np.arange(
+                coo_rows.size, dtype=sdtype)
+            n_tail = coo_rows.size
     else:
         coo_rows = np.zeros(0, np.int32)
         coo_cols = np.zeros(0, np.int32)
-    n_storage = n_dense + coo_rows.size
+        n_tail = 0
+    n_storage = n_dense + n_tail
     assert (storage_of_slot >= 0).all(), "unmapped sparse slot"
 
     diag_storage = np.full(n, -1, dtype=np.int64)
@@ -198,7 +241,8 @@ def build_offset_layout(wp_metas, nnz: int,
                         coo_rows=coo_rows, coo_cols=coo_cols,
                         storage_of_slot=storage_of_slot,
                         diag_storage=diag_storage,
-                        pallas_groups=tuple(pallas_groups))
+                        pallas_groups=tuple(pallas_groups),
+                        blk_b=use_blk)
 
 
 def _shift_mul(seg_vals, x_col, d):
@@ -245,10 +289,25 @@ class OffsetMatrix:
     def n(self) -> int:
         return self.layout.n
 
+    def _blk_tail_mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """BSR tail: y += sum_k B[k] @ x_block[bcol[k]] scattered to
+        block rows.  One gather index moves blk_b contiguous x values;
+        the products are dense [nb, b, b] x [nb, b] contractions."""
+        lo = self.layout
+        b, nbr = lo.blk_b, lo.n_block_rows
+        B = self.vals[lo.n_dense:].reshape(-1, b, b)
+        xp = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b)
+        xg = xp[self.coo_cols]                       # [nb, b] row gather
+        contrib = jnp.einsum("kij,kj->ki", B, xg)
+        yb = jax.ops.segment_sum(contrib, self.coo_rows,
+                                 num_segments=nbr)
+        return yb.reshape(-1)[:lo.n]
+
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         lo = self.layout
         from . import pallas_spmv
-        if lo.pallas_groups and pallas_spmv.decide(x.dtype):
+        if (lo.pallas_groups and not lo.blk_b
+                and pallas_spmv.decide(x.dtype)):
             return pallas_spmv.offset_mv(
                 self.vals, x, lo, self.coo_rows, self.coo_cols,
                 interpret=pallas_spmv.interpret_mode())
@@ -260,7 +319,9 @@ class OffsetMatrix:
                 seg = self.vals[b:b + n_cp]
                 contrib = _shift_mul(seg, x[col0:col0 + n_cp], d)
                 y = _shift_store(y, row0, contrib)
-        if lo.n_coo:
+        if lo.blk_b:
+            y = y + self._blk_tail_mv(x)
+        elif lo.n_coo:
             coo_vals = self.vals[lo.n_dense:]
             y = y + jax.ops.segment_sum(coo_vals * x[self.coo_cols],
                                         self.coo_rows, num_segments=lo.n)
@@ -313,7 +374,16 @@ class OffsetMatrix:
                 shifted = jnp.concatenate(
                     [contrib[-d:], jnp.zeros(-d, x.dtype)])
             y = _shift_store(y, col0, shifted)
-        if lo.n_coo:
+        if lo.blk_b:
+            b, nbr = lo.blk_b, lo.n_block_rows
+            B = self.vals[lo.n_dense:].reshape(-1, b, b)
+            xp = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b)
+            xg = xp[self.coo_rows]
+            contrib = jnp.einsum("kij,ki->kj", B, xg)
+            yb = jax.ops.segment_sum(contrib, self.coo_cols,
+                                     num_segments=nbr)
+            y = y + yb.reshape(-1)[:lo.n]
+        elif lo.n_coo:
             coo_vals = self.vals[lo.n_dense:]
             y = y + jax.ops.segment_sum(coo_vals * x[self.coo_rows],
                                         self.coo_cols, num_segments=lo.n)
@@ -350,7 +420,13 @@ class OffsetMatrix:
                 sc = _shift_mul(jnp.ones(n_cp, s.dtype),
                                 s[col0:col0 + n_cp], d)
                 vals = vals.at[b:b + n_cp].multiply(sc)
-        if lo.n_coo:
+        if lo.blk_b:
+            b, nbr = lo.blk_b, lo.n_block_rows
+            sp = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b)
+            sc = sp[self.coo_cols][:, None, :]       # entry (i,j) *= s[col j]
+            tail = vals[lo.n_dense:].reshape(-1, b, b) * sc
+            vals = vals.at[lo.n_dense:].set(tail.reshape(-1))
+        elif lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_cols])
         return OffsetMatrix(vals, self.coo_rows, self.coo_cols, lo)
 
@@ -374,7 +450,13 @@ class OffsetMatrix:
         else:
             for (row0, col0, n_cp, d, b) in lo.segments:
                 vals = vals.at[b:b + n_cp].multiply(s[row0:row0 + n_cp])
-        if lo.n_coo:
+        if lo.blk_b:
+            b, nbr = lo.blk_b, lo.n_block_rows
+            sp = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b)
+            sc = sp[self.coo_rows][:, :, None]       # entry (i,j) *= s[row i]
+            tail = vals[lo.n_dense:].reshape(-1, b, b) * sc
+            vals = vals.at[lo.n_dense:].set(tail.reshape(-1))
+        elif lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_rows])
         return OffsetMatrix(vals, self.coo_rows, self.coo_cols, lo)
 
@@ -390,9 +472,25 @@ class OffsetMatrix:
             rows.append(row0 + r[ok])
             cols.append(col0 + c[ok])
             vals.append(v[b:b + n_cp][ok])
-        rows.append(np.asarray(self.coo_rows))
-        cols.append(np.asarray(self.coo_cols))
-        vals.append(v[lo.n_dense:])
+        if lo.blk_b:
+            b = lo.blk_b
+            br = np.asarray(self.coo_rows, np.int64)
+            bc = np.asarray(self.coo_cols, np.int64)
+            tv = v[lo.n_dense:].reshape(-1, b, b)
+            r = np.broadcast_to(
+                br[:, None, None] * b + np.arange(b)[None, :, None],
+                tv.shape)                            # [nb, b, b]
+            c = np.broadcast_to(
+                bc[:, None, None] * b + np.arange(b)[None, None, :],
+                tv.shape)
+            ok = (r < lo.n) & (c < lo.n)             # padded edge blocks
+            rows.append(r[ok])
+            cols.append(c[ok])
+            vals.append(tv[ok])
+        else:
+            rows.append(np.asarray(self.coo_rows))
+            cols.append(np.asarray(self.coo_cols))
+            vals.append(v[lo.n_dense:])
         return sp.csr_matrix(
             (np.concatenate(vals),
              (np.concatenate(rows), np.concatenate(cols))),

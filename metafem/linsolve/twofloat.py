@@ -246,7 +246,35 @@ def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
         y_hi = jax.lax.dynamic_update_slice(y_hi, yb_hi, (grp.dof_offset,))
         y_lo = jax.lax.dynamic_update_slice(y_lo, yb_lo, (grp.dof_offset,))
     y = DF(y_hi, y_lo)
-    if lo_.n_coo:
+    if lo_.blk_b:
+        # BSR tail (unstructured meshes, block_offset.py): per-entry
+        # two-float products with a compensated in-block row sum — all
+        # f32 VPU work over [nb, b] lanes — then ONE emulated-f64
+        # cross-block segment reduction on the [nb, b] partials (the
+        # scalar-tail path below pays that f64 reduction per ENTRY).
+        rows = coo_rows if coo_rows is not None else jnp.asarray(
+            lo_.coo_rows)
+        cols = coo_cols if coo_cols is not None else jnp.asarray(
+            lo_.coo_cols)
+        b, nbr = lo_.blk_b, lo_.n_block_rows
+        Bh = vals.hi[lo_.n_dense:].reshape(-1, b, b)
+        Bl = vals.lo[lo_.n_dense:].reshape(-1, b, b)
+        pad = nbr * b - lo_.n
+        xg_h = jnp.pad(x.hi, (0, pad)).reshape(nbr, b)[cols]   # [nb, b]
+        xg_l = jnp.pad(x.lo, (0, pad)).reshape(nbr, b)[cols]
+        acc = DF(jnp.zeros_like(xg_h), jnp.zeros_like(xg_h))
+        for j in range(b):
+            p, e = two_prod(Bh[:, :, j], xg_h[:, j, None])
+            e = e + (Bh[:, :, j] * xg_l[:, j, None]
+                     + Bl[:, :, j] * xg_h[:, j, None])
+            acc = df_add(acc, DF(p, e))
+        t64 = jax.ops.segment_sum(
+            acc.hi.astype(jnp.float64) + acc.lo.astype(jnp.float64),
+            rows, num_segments=nbr).reshape(-1)[:lo_.n]
+        t_hi = t64.astype(x.hi.dtype)
+        t_lo = (t64 - t_hi.astype(jnp.float64)).astype(x.hi.dtype)
+        y = df_add(y, DF(t_hi, t_lo))
+    elif lo_.n_coo:
         # the (small) COO tail in emulated f64 — exact and cheap at tail
         # sizes; lattice meshes have an empty tail
         rows = coo_rows if coo_rows is not None else jnp.asarray(

@@ -162,6 +162,41 @@ def _try_lattice_numbering(gid: np.ndarray, rep: np.ndarray, tol: float,
     return idx[gid], coords, occupied, tuple(a[2] for a in axes)
 
 
+def _morton_renumber(gid: np.ndarray, rep: np.ndarray):
+    """Locality renumbering for unstructured meshes: sort control points
+    along a Morton (Z-order) space-filling curve over quantized
+    coordinates.  Spatially-near cps get near ids, so (a) matrix
+    column-minus-row offsets concentrate and (b) each cp's neighbors
+    span few fixed-size id blocks — the property the block-structured
+    COO tail (linsolve/block_offset.py) converts into contiguous-row
+    gathers instead of scalar gathers (measured 6x fill-9x on the
+    pikachu tet mesh vs 57x fill in file order, blocktail_probe.py).
+    Pure permutation: ids change, nothing else does."""
+    n, dim = rep.shape
+    if n == 0:
+        return gid, rep
+    lo = rep.min(axis=0)
+    span = rep.max(axis=0) - lo
+    span[span <= 0] = 1.0
+    bits = 63 // dim                       # 21 bits/axis in 3D, 31 in 2D
+    q = ((rep - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+
+    def spread(v, stride):
+        out = np.zeros_like(v)
+        for i in range(bits):
+            out |= ((v >> np.uint64(i)) & np.uint64(1)) << np.uint64(
+                i * stride)
+        return out
+
+    code = np.zeros(n, np.uint64)
+    for d in range(dim):
+        code |= spread(q[:, d], dim) << np.uint64(d)
+    perm = np.argsort(code, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[perm] = np.arange(n)
+    return rank[gid], rep[perm]
+
+
 def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
                   boundary_facets: Dict[int, np.ndarray],
                   lattice_pad: int = 1) -> WPMesh:
@@ -195,6 +230,9 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
     # DOF rows are regularized with a unit diagonal and stay zero.
     gid, rep, occupied, lattice_shape = _try_lattice_numbering(
         gid, rep, tol, pad_axis0=lattice_pad)
+    if lattice_shape is None:
+        # unstructured: fall back to space-filling-curve locality order
+        gid, rep = _morton_renumber(gid, rep)
 
     el_cp = gid.reshape(n_el, n_itp)
 

@@ -232,10 +232,14 @@ class FEM_Domain:
                     parts.append((int(ei), els[eis == ei].astype(np.int64)))
                 wp.bdy_parts[bg_id] = parts
 
-    def assemble_global_variables(self) -> None:
+    def assemble_global_variables(self, **layout_opts) -> None:
+        """``layout_opts`` forward to block_offset.build_offset_layout
+        (e.g. blk_b / blk_min_tail for the BSR tail of unstructured
+        meshes)."""
         meshes = [wp.mesh for wp in self.workpieces]
         assemblies = [wp.local_assembly for wp in self.workpieces]
-        self.pattern = build_global_pattern(meshes, assemblies)
+        self.pattern = build_global_pattern(meshes, assemblies,
+                                            **layout_opts)
         self.x = jnp.asarray(assemble_x(meshes, assemblies, self.pattern),
                              dtype=self.dtype)
         self.dx = jnp.zeros_like(self.x)
@@ -926,6 +930,12 @@ class FEM_Domain:
         blob = {name: to_np(getattr(self, name))
                 for name in self._FREEZE_ATTRS
                 if getattr(self, name, None) is not None}
+        # layout fingerprint: frozen arrays are meaningless under a
+        # different storage layout (e.g. after the Morton renumbering or
+        # a BSR-tail change) — reject instead of silently corrupting
+        lo = self.pattern.offset_layout
+        blob["_layout_fp"] = (self.pattern.basicfield_size, lo.n_storage,
+                              lo.n_dense, lo.blk_b)
         with open(path, "wb") as f:
             pickle.dump(blob, f, protocol=4)
 
@@ -935,6 +945,14 @@ class FEM_Domain:
         import pickle
         with open(path, "rb") as f:
             blob = pickle.load(f)
+        lo = self.pattern.offset_layout
+        fp = (self.pattern.basicfield_size, lo.n_storage, lo.n_dense,
+              lo.blk_b)
+        saved_fp = blob.pop("_layout_fp", None)
+        if saved_fp is not None and tuple(saved_fp) != fp:
+            raise ValueError(
+                f"load_freezes: stale cache {path} — saved layout "
+                f"{tuple(saved_fp)} != current {fp}; recompute freezes")
 
         def to_dev(t):
             return jax.tree_util.tree_map(

@@ -116,7 +116,8 @@ class GlobalPattern:
 
 
 def build_global_pattern(meshes: List[WPMesh],
-                         assemblies: List[LocalAssembly]) -> GlobalPattern:
+                         assemblies: List[LocalAssembly],
+                         **layout_opts) -> GlobalPattern:
     wp_infos: List[WPGlobalInfo] = []
     dof_offset = 0
     for mesh, la in zip(meshes, assemblies):
@@ -157,7 +158,7 @@ def build_global_pattern(meshes: List[WPMesh],
         coo_cols = np.zeros(0, np.int64)
 
     from ..linsolve.block_offset import build_offset_layout
-    offset_layout = build_offset_layout(wp_metas, nnz)
+    offset_layout = build_offset_layout(wp_metas, nnz, **layout_opts)
 
     return GlobalPattern(
         offset_layout=offset_layout,

@@ -1,0 +1,91 @@
+"""Device microbenchmark: scalar-COO-tail SpMV vs BSR block-tail SpMV
+at pikachu-refine-2 scale (synthetic indices with the measured block
+statistics).  Validates the core claim of the block tail — one gather
+index moving b contiguous values beats b scalar gathers — ON the TPU,
+before committing the production pikachu run to it.
+
+Honest timing: data-dependent chains (y feeds the next x), scalar
+readback, differential chain lengths (PERFORMANCE.md methodology).
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def chain_time(fn, x0, n=10, reps=3):
+    import functools
+
+    import jax
+
+    def chain(x, k):
+        for _ in range(k):
+            x = fn(x)
+        return x
+
+    c_long = jax.jit(functools.partial(chain, k=n))
+    c_short = jax.jit(functools.partial(chain, k=n // 2))
+    jax.block_until_ready(c_long(x0))
+    jax.block_until_ready(c_short(x0))
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(c_long(x0))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(c_short(x0))
+        t_short = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (n - n // 2))
+    return best
+
+
+def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    nbr = -(-n // b)
+    nb = int(nnz * fill / (b * b))
+    print(f"n={n} nnz={nnz} b={b} nb={nb} "
+          f"(block storage {nb*b*b*4/1e9:.2f} GB)", flush=True)
+
+    # scalar tail
+    rows = jnp.asarray(np.sort(rng.integers(0, n, nnz)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, n, nnz).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
+
+    def scalar_mv(x):
+        y = jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
+        return y / jnp.linalg.norm(y)
+
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    t = chain_time(scalar_mv, x0)
+    print(f"scalar tail : {t*1e3:8.2f} ms  "
+          f"({nnz/t/1e9:.2f} G gathers/s)", flush=True)
+
+    # block tail (locality-ish block cols: near the block row)
+    brows = jnp.asarray(np.sort(rng.integers(0, nbr, nb)).astype(np.int32))
+    spread = rng.integers(-2000, 2000, nb)
+    bcols = jnp.asarray(np.clip(np.asarray(brows) + spread, 0,
+                                nbr - 1).astype(np.int32))
+    B = jnp.asarray(rng.standard_normal((nb, b, b)).astype(np.float32))
+
+    def blk_mv(x):
+        xp = jnp.pad(x, (0, nbr * b - n)).reshape(nbr, b)
+        xg = xp[bcols]
+        contrib = jnp.einsum("kij,kj->ki", B, xg)
+        y = jax.ops.segment_sum(contrib, brows,
+                                num_segments=nbr).reshape(-1)[:n]
+        return y / jnp.linalg.norm(y)
+
+    t_b = chain_time(blk_mv, x0)
+    print(f"block tail  : {t_b*1e3:8.2f} ms  "
+          f"({nb/t_b/1e9:.3f} G block-gathers/s, "
+          f"{nb*b*b*4/t_b/1e9:.0f} GB/s storage read)", flush=True)
+    print(f"speedup: {t/t_b:.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main(b=int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -29,12 +29,11 @@ sys.path.insert(0, "/root/repo")
 HBM_GBPS = 819.0        # TPU v5e chip HBM bandwidth
 
 
-def build_2d():
+def build_2d(nel=(800, 400)):
     import jax.numpy as jnp
     import metafem as mf
     from metafem import Bilinear
     from metafem.solver.domain import FEM_Domain
-    nel = (800, 400)
     L1, L2 = 0.02, 0.01
     vert, conn = mf.make_square((L1, L2), nel)
     geo = mf.construct_total_mesh(vert, conn)
@@ -107,33 +106,37 @@ def build_3d(nel_side=56):
     return dom
 
 
-def chain_time(fn, x0, n=20, reps=3):
-    """Differential data-dependent chain: per-call seconds for y=fn(y)."""
+def chain_time(fn, x0, n=20, reps=3, consts=()):
+    """Differential data-dependent chain: per-call seconds for
+    y=fn(y, consts).  ``consts`` MUST carry every large array the phase
+    reads — a closed-over array is baked into the program as an HLO
+    constant, which overflows the remote-compile transport (HTTP 413)
+    at 1M-DOF sizes (same failure mode as PERFORMANCE.md round-3 #1)."""
     import jax
 
-    def chain(x, k):
+    def chain(x, c, k):
         for _ in range(k):
-            x = fn(x)
+            x = fn(x, c)
         return x
 
     import functools
     c_long = jax.jit(functools.partial(chain, k=n))
     c_short = jax.jit(functools.partial(chain, k=n // 2))
-    jax.block_until_ready(c_long(x0))
-    jax.block_until_ready(c_short(x0))
+    jax.block_until_ready(c_long(x0, consts))
+    jax.block_until_ready(c_short(x0, consts))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(c_long(x0))
+        jax.block_until_ready(c_long(x0, consts))
         t_long = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(c_short(x0))
+        jax.block_until_ready(c_short(x0, consts))
         t_short = time.perf_counter() - t0
         best = min(best, (t_long - t_short) / (n - n // 2))
     return best
 
 
-def main(which="2d"):
+def main(which="2d", size=0):
     import jax
     import jax.numpy as jnp
     from metafem.linsolve import krylov, multigrid, twofloat as tf
@@ -147,7 +150,10 @@ def main(which="2d"):
               flush=True)
         t0 = time.perf_counter()
 
-    dom = build_2d() if which == "2d" else build_3d()
+    if which == "2d":
+        dom = build_2d((size, size // 2) if size else (800, 400))
+    else:
+        dom = build_3d(size or 56)
     n = dom.pattern.basicfield_size
     layout = dom.pattern.offset_layout
     print(f"n_dof = {n}  n_storage = {layout.n_storage}", flush=True)
@@ -166,6 +172,8 @@ def main(which="2d"):
     x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
     x_c, _, res_c, _ = step_c(state, x_c, jnp.float64(0.0),
                               jnp.float64(1.0))
+    if not isinstance(x_c, tf.DF):     # f64 residual mode (CPU)
+        x_c = tf.df_from_f64(x_c)
     jax.block_until_ready(x_c.hi)
     tick(f"converge once (res={float(res_c):.2e})")
     dom.x = np.asarray(tf.df_to_f64(x_c))
@@ -215,54 +223,77 @@ def main(which="2d"):
                      dom.dtype)
 
     def norm1(f):
-        return lambda x: (lambda y: y / jnp.linalg.norm(y))(f(x))
+        return lambda x, c: (lambda y: y / jnp.linalg.norm(y))(f(x, c))
 
     phases = {}
-    phases["A.mv"] = chain_time(norm1(A.mv), v0)
+    phases["A.mv"] = chain_time(norm1(lambda x, A_: A_.mv(x)), v0,
+                                consts=A)
     tick("A.mv chain")
     phases["vcycle"] = chain_time(
-        norm1(lambda x: multigrid.vcycle(hier, mg_state, x)), v0)
+        norm1(lambda x, ms: multigrid.vcycle(hier, ms, x)), v0,
+        consts=mg_state)
     tick("vcycle chain")
 
     # one Chebyshev inner solve at the tuned trip count (as in the step)
-    def cheb_solve(b):
-        y, _, _ = krylov.chebyshev(op, b, maxiter=n_cheb,
+    def cheb_solve(b, c):
+        A_, ms = c
+        op_ = multigrid.MGOperator(A_, ms, hier)
+        y, _, _ = krylov.chebyshev(op_, b, maxiter=n_cheb,
                                    interval=interval)
         return y
 
-    phases[f"cheb_solve({n_cheb})"] = chain_time(norm1(cheb_solve), v0,
-                                                 n=6)
+    phases[f"cheb_solve({n_cheb})"] = chain_time(
+        norm1(cheb_solve), v0, n=6, consts=(A, mg_state))
     tick("chebyshev chain")
 
     # df32 exact residual: r = b + sum_td A_td x_td (two-float SpMVs)
     ref = state["refined"]
     L = dom.pattern.max_time_level
+    coo_dev = (state.get("coo_rows"), state.get("coo_cols"))
 
-    def df_residual(xhi):
+    def df_residual(xhi, c):
+        ref_, (rows, cols) = c
         xdf = tf.DF(xhi, jnp.zeros_like(xhi))
-        r = tf.DF(ref["b_hi"], ref["b_lo"])
+        r = tf.DF(ref_["b_hi"], ref_["b_lo"])
         for td in range(L + 1):
             r = tf.df_add(r, tf.df_offset_mv(
-                tf.DF(ref["A_hi"][td], ref["A_lo"][td]), layout, xdf))
+                tf.DF(ref_["A_hi"][td], ref_["A_lo"][td]), layout, xdf,
+                coo_rows=rows, coo_cols=cols))
         return r.hi / jnp.linalg.norm(r.hi)
 
-    phases["df_residual"] = chain_time(df_residual, v0)
+    phases["df_residual"] = chain_time(df_residual, v0,
+                                       consts=(ref, coo_dev))
     tick("df residual chain")
 
     # nonaffine tangent blocks (boundary assembly, f32)
     dom._ensure_device_maps("nl_grad")
-    st32 = {**state, "x_star": v0,
-            "K_params": jnp.ones(L + 1, jnp.float32)}
     run_phase = dom._run_phase
 
-    def nl_grad(xs):
-        st2 = {**st32, "x_star": xs}
+    def nl_grad(xs, st_):
+        st2 = {**st_, "x_star": xs,
+               "K_params": jnp.ones(L + 1, jnp.float32)}
         _, K_nl = run_phase(st2, "nl_grad")
         # data dependence via a cheap reduction folded into the carry
         return xs * (1.0 + 0.0 * jnp.sum(K_nl))
 
-    phases["nl_grad"] = chain_time(nl_grad, v0, n=10)
+    phases["nl_grad"] = chain_time(nl_grad, v0, n=10, consts=state)
     tick("nl_grad chain")
+
+    # per-refine tangent combine: K = sum_td K_params[td] * K_td + ghost
+    # (reads the whole [L+1, n_storage] stack — pure HBM traffic)
+    def k_combine(xs, c):
+        K_td_, ghost_ = c
+        K = xs[0] * K_td_[0]
+        for td in range(1, L + 1):
+            K = K + K_td_[td]
+        if ghost_ is not None:
+            K = K + ghost_
+        return xs * (1.0 + 0.0 * jnp.sum(K))
+
+    phases["k_combine"] = chain_time(
+        k_combine, v0, n=10,
+        consts=(state["K_linear_td"], state.get("ghost_diag")))
+    tick("k_combine chain")
 
     # ---- roofline model -----------------------------------------------
     fbytes = 4
@@ -277,16 +308,18 @@ def main(which="2d"):
         lvl_bytes.append((n_off * C * C * pts + 2 * C * pts) * fbytes)
     vc_bytes = 4 * sum(lvl_bytes[:-1]) + 2 * lvl_bytes[-1]
     df_bytes = (L + 1) * 2 * (layout.n_storage + 2 * n) * fbytes
+    kc_bytes = (L + 2) * layout.n_storage * fbytes
     model = {"A.mv": mv_bytes, "vcycle": vc_bytes,
              f"cheb_solve({n_cheb})": n_cheb * (vc_bytes + mv_bytes),
-             "df_residual": df_bytes}
+             "df_residual": df_bytes, "k_combine": kc_bytes}
 
     # ---- roll-up -------------------------------------------------------
     # per warm step: refines x (cheb_solve + apply_m vcycle + A.mv)
     #              + (refines + 1) x (df_residual + nl_grad + norm)
     calls = {"A.mv": refines, "vcycle": refines,
              f"cheb_solve({n_cheb})": refines,
-             "df_residual": refines + 1, "nl_grad": refines + 1}
+             "df_residual": refines + 1, "nl_grad": refines + 1,
+             "k_combine": refines}
     print(f"\n== warm step {step_ms:.1f} ms, {refines} refines, "
           f"cheb trip {n_cheb}, rate {rate:.2f} ==")
     print(f"{'phase':>18} {'ms/call':>9} {'calls':>6} {'ms/step':>9} "
@@ -321,4 +354,5 @@ def main(which="2d"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "2d")
+    main(sys.argv[1] if len(sys.argv) > 1 else "2d",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 0)

@@ -15,27 +15,31 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def chain_time(fn, x0, n=10, reps=3):
+def chain_time(fn, x0, consts, n=10, reps=3):
+    """Differential data-dependent chain timing.  ``consts`` must carry
+    every large array the phase reads — closed-over arrays are baked
+    into the program as HLO constants, which overflows the remote
+    compile transport (HTTP 413) at these sizes."""
     import functools
 
     import jax
 
-    def chain(x, k):
+    def chain(x, c, k):
         for _ in range(k):
-            x = fn(x)
+            x = fn(x, c)
         return x
 
     c_long = jax.jit(functools.partial(chain, k=n))
     c_short = jax.jit(functools.partial(chain, k=n // 2))
-    jax.block_until_ready(c_long(x0))
-    jax.block_until_ready(c_short(x0))
+    jax.block_until_ready(c_long(x0, consts))
+    jax.block_until_ready(c_short(x0, consts))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(c_long(x0))
+        jax.block_until_ready(c_long(x0, consts))
         t_long = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(c_short(x0))
+        jax.block_until_ready(c_short(x0, consts))
         t_short = time.perf_counter() - t0
         best = min(best, (t_long - t_short) / (n - n // 2))
     return best
@@ -56,12 +60,13 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
     cols = jnp.asarray(rng.integers(0, n, nnz).astype(np.int32))
     vals = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
 
-    def scalar_mv(x):
-        y = jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
+    def scalar_mv(x, c):
+        vals_, rows_, cols_ = c
+        y = jax.ops.segment_sum(vals_ * x[cols_], rows_, num_segments=n)
         return y / jnp.linalg.norm(y)
 
     x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    t = chain_time(scalar_mv, x0)
+    t = chain_time(scalar_mv, x0, (vals, rows, cols))
     print(f"scalar tail : {t*1e3:8.2f} ms  "
           f"({nnz/t/1e9:.2f} G gathers/s)", flush=True)
 
@@ -72,15 +77,16 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
                                 nbr - 1).astype(np.int32))
     B = jnp.asarray(rng.standard_normal((nb, b, b)).astype(np.float32))
 
-    def blk_mv(x):
+    def blk_mv(x, c):
+        B_, brows_, bcols_ = c
         xp = jnp.pad(x, (0, nbr * b - n)).reshape(nbr, b)
-        xg = xp[bcols]
-        contrib = jnp.einsum("kij,kj->ki", B, xg)
-        y = jax.ops.segment_sum(contrib, brows,
+        xg = xp[bcols_]
+        contrib = jnp.einsum("kij,kj->ki", B_, xg)
+        y = jax.ops.segment_sum(contrib, brows_,
                                 num_segments=nbr).reshape(-1)[:n]
         return y / jnp.linalg.norm(y)
 
-    t_b = chain_time(blk_mv, x0)
+    t_b = chain_time(blk_mv, x0, (B, brows, bcols))
     print(f"block tail  : {t_b*1e3:8.2f} ms  "
           f"({nb/t_b/1e9:.3f} G block-gathers/s, "
           f"{nb*b*b*4/t_b/1e9:.0f} GB/s storage read)", flush=True)

@@ -13,9 +13,26 @@ Production path: frozen f64 affine operator + f32 MG tangent solves
 cross-step caches for the static geometry (freeze_linear_tangent /
 setup_mg / freeze_refined_residual), one jitted dispatch per step.
 The measured step is production STEPPING: the system is converged once
-(adaptive BiCGStab), the MG spectrum re-tuned at the running state, and
+(adaptive BiCGStab), the MG spectrum tuned at the converged state, and
 each timed step is a full Newton re-solve to 1e-6 from a perturbed
 state with Chebyshev inner solves (zero inner products).
+
+Robustness contract (round-3 postmortem: BENCH_r03 was rc=124 with no
+JSON): this script must emit its JSON line INSIDE the driver budget no
+matter what.  Three mechanisms:
+
+  1. a watchdog thread with a hard deadline (BENCH_DEADLINE_S, default
+     820 s) that prints the best measurement so far — or a degraded
+     record — and exits 0 even if the main thread is wedged inside a
+     TPU RPC (os._exit; signal handlers can't preempt a blocked C call);
+  2. budget gates between one-time phases: the expensive upgrades
+     (Chebyshev spectrum tune, second step compile) only run when the
+     remaining budget affords them, so a slow/cold machine still emits
+     the adaptive-BiCGStab measurement at full 1e-6 tolerance;
+  3. warm-start caches: the persistent JAX compilation cache
+     (.jax_cache/, committed to the repo so the driver is never
+     compile-cold) and a freeze cache (.freeze_cache/, populated on the
+     first successful run) that skips the ~300 s of one-time freezes.
 
 The reference publishes no benchmark numbers (BASELINE.md), so
 ``vs_baseline`` is reported against a fixed nominal of 1e6 assembled
@@ -23,28 +40,78 @@ DOFs/sec (~1 s/step for a 1M-DOF implicit solve is single-GPU-class).
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+T_START = time.perf_counter()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 820))
+
+# best-so-far measurement; the watchdog prints this if the main thread
+# overruns or wedges.  Guarded by _LOCK; _DONE stops the watchdog.
+_BEST = {"metric": "newton_step_dofs_per_sec_1mdof_tol1e-6",
+         "value": 0.0, "unit": "DOF/s", "vs_baseline": 0.0,
+         "degraded": True, "error": "no measurement completed"}
+_LOCK = threading.Lock()
+_DONE = threading.Event()
+
+
+def _remaining():
+    return DEADLINE_S - (time.perf_counter() - T_START)
+
+
+def _emit(record, final=False):
+    """Print the JSON line exactly once (main thread or watchdog)."""
+    with _LOCK:
+        if _DONE.is_set():
+            return
+        _DONE.set()
+        print(json.dumps(record), flush=True)
+    if not final:
+        os._exit(0)
+
+
+def _record_best(record):
+    global _BEST
+    with _LOCK:
+        if not _DONE.is_set():
+            _BEST = record
+
+
+def _watchdog():
+    # wake a little before the deadline so the print itself fits
+    while not _DONE.wait(timeout=1.0):
+        if _remaining() < 5.0:
+            with _LOCK:
+                best = dict(_BEST)
+            best["one_time_total_s"] = round(
+                time.perf_counter() - T_START, 1)
+            best.setdefault("degraded", True)
+            _emit(best)
+            return
+
 
 def _t(msg, t0, phases=None, key=None):
     dt = time.perf_counter() - t0
-    print(f"[bench] {msg}: {dt:.1f}s", file=sys.stderr, flush=True)
+    print(f"[bench] {msg}: {dt:.1f}s  (remaining {_remaining():.0f}s)",
+          file=sys.stderr, flush=True)
     if phases is not None:
         phases[key or msg] = round(dt, 1)
     return time.perf_counter()
 
 
 def main():
-    import os
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
 
     # persistent compilation cache: the step/freeze programs are
-    # identical across bench runs — saves the ~40 s step compile and the
-    # setup jits on every run after the first (VERDICT r2 item #3)
+    # identical across bench runs.  The directory is COMMITTED to the
+    # repo — the driver machine must not pay ~400 s of cold compiles
+    # (that is what timed out round 3's run).
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -104,12 +171,97 @@ def main():
 
     # the reference's convergence bar (pikachu.jl:106)
     dom.converge_tol = 1e-6
-    from metafem.linsolve import krylov
-    # production configuration: frozen f64 affine operator (exact
-    # residuals), frozen linear tangent + geometric-multigrid state
-    # (static geometry), f32 MG-Krylov inner solves.  Falls back to the
-    # per-step-assembled f32 path if the mesh fails lattice numbering.
-    try:
+    from metafem.linsolve import krylov, twofloat as tf
+
+    freeze_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".freeze_cache", "bench2d.pkl")
+
+    def measure(step, x0, label, extra):
+        """Compile + warm the step, run 3 timed trials from perturbed
+        states, and record the result as best-so-far.  Timing: DIRECT
+        per-step wall time with a host scalar readback and a fresh
+        (perturbed) input per trial — chained/hoisted timing methods
+        under-report (XLA hoists state-only work out of a fori_loop
+        chain, which a real time-stepping loop cannot)."""
+        state = dom._runtime_state()
+
+        def timed(eps):
+            x1 = tf.DF(x0.hi * np.float32(1.0 + eps), x0.lo)
+            jax.block_until_ready(x1)
+            ts = time.perf_counter()
+            _, _, res, it = step(state, x1, jnp.float64(0.0),
+                                 jnp.float64(1.0))
+            r = float(res)                 # forces the whole step
+            return time.perf_counter() - ts, r, int(it)
+
+        timed(1e-4)                        # compile + warm
+        nonlocal t0
+        t0 = _t(f"step compile+warm [{label}]", t0, phases,
+                f"step_compile_{label}")
+        results = [timed(1e-4 * (t + 2)) for t in range(3)]
+        dt = float(np.median([t for t, _, _ in results]))
+        dofs_per_sec = dom.pattern.basicfield_size / dt
+        nominal = 1e6
+        _record_best({
+            "metric": "newton_step_dofs_per_sec_1mdof_tol1e-6",
+            "value": dofs_per_sec,
+            "unit": "DOF/s",
+            "vs_baseline": dofs_per_sec / nominal,
+            "step_ms": dt * 1e3,
+            "final_residual": results[-1][1],
+            "inner_solver": label,
+            "step_refines": [it for _, _, it in results],
+            **extra})
+        return dofs_per_sec
+
+    def cheb_extra():
+        cheb = getattr(dom, "_mg_cheb", None)
+        return {
+            "cheb_tuned": cheb is not None,
+            "cheb_interval": (list(map(float, cheb[0])) if cheb else None),
+            "cheb_rate": (float(cheb[1]) if cheb else None)}
+
+    # ---- fast path: reload the production freezes + converged state ----
+    loaded = False
+    if os.path.exists(freeze_cache) and not os.environ.get(
+            "BENCH_NO_FREEZE_CACHE"):
+        try:
+            import pickle
+            dom.load_freezes(freeze_cache)
+            with open(freeze_cache + ".x", "rb") as f:
+                dom.x = jnp.asarray(pickle.load(f))
+            loaded = True
+            t0 = _t("load_freezes", t0, phases)
+            # measure NOW; any failure (stale pytree structure the
+            # layout fingerprint can't see) falls through to recompute
+            sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
+                  else krylov.bicgstab)
+            step = dom.make_refined_step(sv_func=sv, maxiter=60,
+                                         max_refine=10, max_pass=1)
+            x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
+            measure(step, x0, sv.__name__, {
+                **cheb_extra(),
+                "one_time_s": phases,
+                "one_time_total_s": round(
+                    time.perf_counter() - t_all, 1)})
+            _emit(dict(_BEST), final=True)
+            return
+        except Exception as e:
+            print(f"[bench] freeze cache unusable ({e}); recomputing",
+                  file=sys.stderr, flush=True)
+            loaded = False
+            for name in dom._FREEZE_ATTRS:
+                if hasattr(dom, name):
+                    setattr(dom, name, None)
+            dom.drop_host_caches()
+            try:
+                os.remove(freeze_cache)
+                os.remove(freeze_cache + ".x")
+            except OSError:
+                pass
+
+    if not loaded:
         dom.freeze_linear_tangent()
         t0 = _t("freeze_linear_tangent", t0, phases)
         # V-cycle only — the spectrum is tuned ONCE, at the converged
@@ -119,14 +271,10 @@ def main():
         t0 = _t("setup_mg", t0, phases)
         dom.freeze_refined_residual()
         t0 = _t("freeze_refined_residual", t0, phases)
-        # production stepping carries the solution as a two-float pair
-        # (twofloat.py) — no full-vector emulated-f64 casts in the loop
-        from metafem.linsolve import twofloat as tf
         # converge once (adaptive Krylov absorbs the large tangent
-        # drift of the radiation boundary on the way down), then re-tune
-        # the MG spectrum at the converged tangent: the timed steps are
-        # production stepping around the running state, with Chebyshev
-        # inner solves (zero inner products, static trip count)
+        # drift of the radiation boundary on the way down); production
+        # stepping carries the solution as a two-float pair
+        # (twofloat.py) — no full-vector emulated-f64 casts in the loop
         step_c = dom.make_refined_step(sv_func=krylov.bicgstab,
                                        maxiter=60, max_refine=10,
                                        max_pass=1)
@@ -140,73 +288,64 @@ def main():
         t0 = _t(f"converge once (res={float(res_c):.2e})", t0, phases,
                 "converge_once")
         dom.x = np.asarray(tf.df_to_f64(x_c))
-        dom.setup_mg()                 # single spectrum tune, here only
+
+        # budget gate: the Chebyshev upgrade needs the spectrum tune
+        # (~60-170 s) + a second step compile (~30-60 s) + trials.  If
+        # the remaining budget can't carry it, measure with the
+        # adaptive-BiCGStab step we already compiled — full 1e-6
+        # tolerance, just a slower inner solver.
+        if _remaining() < 320:
+            print(f"[bench] budget gate: {_remaining():.0f}s left — "
+                  "skipping Chebyshev tune, measuring BiCGStab step",
+                  file=sys.stderr, flush=True)
+            measure(step_c, x_c, "bicgstab", {
+                "one_time_s": phases,
+                "one_time_total_s": round(
+                    time.perf_counter() - t_all, 1),
+                "degraded": "budget_gate_no_cheb_tune"})
+            _emit(dict(_BEST), final=True)
+            return
+        dom.setup_mg()             # single spectrum tune, here only
         t0 = _t("tune mg at converged state", t0, phases, "tune_mg")
-        # Chebyshev stepping if the tuner certified a contracting
-        # enclosure; adaptive BiCGStab otherwise (robustness: the bench
-        # must emit its JSON line either way)
-        sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
-              else krylov.bicgstab)
-        print(f"[bench] inner solver: {sv.__name__}", file=sys.stderr,
-              flush=True)
-        step = dom.make_refined_step(sv_func=sv, maxiter=60,
-                                     max_refine=10, max_pass=1)
-        inner_name = sv.__name__
-        x0 = x_c
-        tdtype = jnp.float64
-        perturb = lambda xp, eps: tf.DF(xp.hi * np.float32(1.0 + eps),
-                                        xp.lo)
-    except ValueError:
-        dom.converge_tol = 5e-4            # f32 floor
-        step = dom.make_jitted_step(sv_func=krylov.bicgstabl, s=4,
-                                    maxiter=150, max_newton=3, max_pass=1)
-        inner_name = "bicgstabl_fallback"
-        x0 = dom.x
-        tdtype = jnp.float32
-        perturb = lambda x, eps: x * np.float32(1.0 + eps)
-    state = dom._runtime_state()
+        # persist the freezes + converged state so later runs (and the
+        # driver's next round) skip straight to the measurement
+        try:
+            import pickle
+            os.makedirs(os.path.dirname(freeze_cache), exist_ok=True)
+            dom.save_freezes(freeze_cache)
+            with open(freeze_cache + ".x", "wb") as f:
+                pickle.dump(np.asarray(dom.x, np.float64), f, protocol=4)
+            t0 = _t("save_freezes", t0, phases)
+        except Exception as e:
+            print(f"[bench] save_freezes failed ({e}); continuing",
+                  file=sys.stderr, flush=True)
 
-    # Timing: DIRECT per-step wall time with a host scalar readback and a
-    # fresh (perturbed) input per trial.  Chained/hoisted timing methods
-    # under-report here: XLA hoists state-only work out of a fori_loop
-    # chain, which a real time-stepping loop cannot.
-    def timed(eps):
-        x1 = perturb(x0, eps)
-        jax.block_until_ready(x1)
-        t0 = time.perf_counter()
-        x_new, dx, res, it = step(state, x1, tdtype(0.0), tdtype(1.0))
-        r = float(res)                     # forces the whole step
-        return time.perf_counter() - t0, r, int(it)
-
-    timed(1e-4)                            # compile + warm
-    t0 = _t("step compile+warm", t0, phases, "step_compile")
-    results = [timed(1e-4 * (t + 2)) for t in range(3)]
-    dt = float(np.median([t for t, _, _ in results]))
-    res_final = results[-1][1]
-
-    # observability (VERDICT r2 item #9): the inner-solver identity,
-    # the tuner's accepted enclosure/rate, and per-step refine counts
-    # are DATA, not stderr prose — a silent Chebyshev->BiCGStab
-    # regression must be visible in the recorded JSON
-    cheb = getattr(dom, "_mg_cheb", None)
-    dofs_per_sec = dom.pattern.basicfield_size / dt
-    nominal = 1e6  # ~1 s/step for a 1M-DOF implicit solve is GPU-class
-    print(json.dumps({
-        "metric": "newton_step_dofs_per_sec_1mdof_tol1e-6",
-        "value": dofs_per_sec,
-        "unit": "DOF/s",
-        "vs_baseline": dofs_per_sec / nominal,
-        "step_ms": dt * 1e3,
-        "final_residual": res_final,
-        "inner_solver": inner_name,
-        "cheb_tuned": cheb is not None,
-        "cheb_interval": (list(map(float, cheb[0])) if cheb else None),
-        "cheb_rate": (float(cheb[1]) if cheb else None),
-        "step_refines": [it for _, _, it in results],
+    # Chebyshev stepping if the tuner certified a contracting enclosure;
+    # adaptive BiCGStab otherwise (robustness: the bench must emit its
+    # JSON line either way)
+    sv = (krylov.chebyshev if getattr(dom, "_mg_cheb", None)
+          else krylov.bicgstab)
+    print(f"[bench] inner solver: {sv.__name__}", file=sys.stderr,
+          flush=True)
+    step = dom.make_refined_step(sv_func=sv, maxiter=60,
+                                 max_refine=10, max_pass=1)
+    x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
+    measure(step, x0, sv.__name__, {
+        **cheb_extra(),
         "one_time_s": phases,
-        "one_time_total_s": round(time.perf_counter() - t_all, 1),
-    }))
+        "one_time_total_s": round(time.perf_counter() - t_all, 1)})
+    _emit(dict(_BEST), final=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:   # noqa: BLE001 — contract: always emit
+        import traceback
+        traceback.print_exc()
+        with _LOCK:
+            best = dict(_BEST)
+        best["one_time_total_s"] = round(time.perf_counter() - T_START, 1)
+        best.setdefault("degraded", True)
+        best["error"] = f"{type(e).__name__}: {e}"
+        _emit(best, final=True)

@@ -8,41 +8,14 @@ Honest timing: data-dependent chains (y feeds the next x), scalar
 readback, differential chain lengths (PERFORMANCE.md methodology).
 """
 import sys
-import time
+
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 
-def chain_time(fn, x0, consts, n=10, reps=3):
-    """Differential data-dependent chain timing.  ``consts`` must carry
-    every large array the phase reads — closed-over arrays are baked
-    into the program as HLO constants, which overflows the remote
-    compile transport (HTTP 413) at these sizes."""
-    import functools
-
-    import jax
-
-    def chain(x, c, k):
-        for _ in range(k):
-            x = fn(x, c)
-        return x
-
-    c_long = jax.jit(functools.partial(chain, k=n))
-    c_short = jax.jit(functools.partial(chain, k=n // 2))
-    jax.block_until_ready(c_long(x0, consts))
-    jax.block_until_ready(c_short(x0, consts))
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(c_long(x0, consts))
-        t_long = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(c_short(x0, consts))
-        t_short = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (n - n // 2))
-    return best
+from _timing import chain_time  # noqa: E402  (shared timing helper)
 
 
 def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
@@ -66,7 +39,7 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
         return y / jnp.linalg.norm(y)
 
     x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    t = chain_time(scalar_mv, x0, (vals, rows, cols))
+    t = chain_time(scalar_mv, x0, (vals, rows, cols), n=10)
     print(f"scalar tail : {t*1e3:8.2f} ms  "
           f"({nnz/t/1e9:.2f} G gathers/s)", flush=True)
 
@@ -86,7 +59,7 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
                                 num_segments=nbr).reshape(-1)[:n]
         return y / jnp.linalg.norm(y)
 
-    t_b = chain_time(blk_mv, x0, (B, brows, bcols))
+    t_b = chain_time(blk_mv, x0, (B, brows, bcols), n=10)
     print(f"block tail  : {t_b*1e3:8.2f} ms  "
           f"({nb/t_b/1e9:.3f} G block-gathers/s, "
           f"{nb*b*b*4/t_b/1e9:.0f} GB/s storage read)", flush=True)

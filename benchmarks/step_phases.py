@@ -106,34 +106,7 @@ def build_3d(nel_side=56):
     return dom
 
 
-def chain_time(fn, x0, n=20, reps=3, consts=()):
-    """Differential data-dependent chain: per-call seconds for
-    y=fn(y, consts).  ``consts`` MUST carry every large array the phase
-    reads — a closed-over array is baked into the program as an HLO
-    constant, which overflows the remote-compile transport (HTTP 413)
-    at 1M-DOF sizes (same failure mode as PERFORMANCE.md round-3 #1)."""
-    import jax
-
-    def chain(x, c, k):
-        for _ in range(k):
-            x = fn(x, c)
-        return x
-
-    import functools
-    c_long = jax.jit(functools.partial(chain, k=n))
-    c_short = jax.jit(functools.partial(chain, k=n // 2))
-    jax.block_until_ready(c_long(x0, consts))
-    jax.block_until_ready(c_short(x0, consts))
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(c_long(x0, consts))
-        t_long = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(c_short(x0, consts))
-        t_short = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (n - n // 2))
-    return best
+from _timing import chain_time  # noqa: E402  (shared timing helper)
 
 
 def main(which="2d", size=0):

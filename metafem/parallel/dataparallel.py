@@ -77,9 +77,18 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
         return out
 
     out = dict(state)
-    # the precomputed reduction maps assume unpadded batches; drop them so
-    # the updaters rebuild padded maps at trace time
-    out.pop("maps", None)
+    # volume element batches get padded to the mesh, so their precomputed
+    # reduction maps (sized to the unpadded streams) are invalid — drop
+    # them and the updaters rebuild padded maps at trace time.  The
+    # refined-step nonaffine phases are the exception: they run on the
+    # frozen REPLICATED wp tables (state['refined']), so their maps stay
+    # valid and the compact-residual / df reductions require them.
+    refined_phases = ("nonaff_res", "nonaff_nl", "nonaff_res_df")
+    maps = state.get("maps") or {}
+    out["maps"] = {
+        ph: jax.tree_util.tree_map(
+            lambda v: jax.device_put(jnp.asarray(v), rep), maps[ph])
+        for ph in refined_phases if ph in maps}
     wps = []
     for wp_state in state["wp"]:
         # boundary facet batches are typically small; keep them replicated
@@ -112,7 +121,27 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
         from .rowshard import put_divisible
         out["K_linear_td"] = put_divisible(
             state["K_linear_td"], NamedSharding(mesh, P(None, "el")), mesh)
-    for k in ("mg_mask", "refined", "auxmg_tree"):
+    if state.get("refined") is not None:
+        # the frozen refined operator: A_td stacks [L+1, n_storage] and
+        # the b/residual vectors [n] row-block over 'el' (their SpMVs /
+        # axpys then land sharded in the refined step); boundary tables,
+        # DF geometry and index arrays replicate
+        from .rowshard import put_divisible
+        ref = dict(state["refined"])
+        for k in ("A_hi", "A_lo"):
+            if ref.get(k) is not None:
+                ref[k] = put_divisible(
+                    ref[k], NamedSharding(mesh, P(None, "el")), mesh)
+        for k in ("b_hi", "b_lo"):
+            if ref.get(k) is not None:
+                ref[k] = put_divisible(
+                    ref[k], NamedSharding(mesh, P("el")), mesh)
+        for k in ("bnd_dofs", "wp", "wp_df"):
+            if ref.get(k) is not None:
+                ref[k] = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(jnp.asarray(v), rep), ref[k])
+        out["refined"] = ref
+    for k in ("mg_mask", "auxmg_tree"):
         if state.get(k) is not None:
             out[k] = jax.tree_util.tree_map(
                 lambda v: jax.device_put(jnp.asarray(v), rep), state[k])

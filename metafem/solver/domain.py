@@ -712,6 +712,15 @@ class FEM_Domain:
         for ph in ("aff_lin", "aff_res", "nonaff_nl", "nonaff_res",
                    "nl_grad"):
             self._build_phase_maps(ph)
+        # the refined step assembles these phases ON DEVICE: publish
+        # their device maps now so a _runtime_state() snapshot taken
+        # before make_refined_step (e.g. for shard_domain_state) already
+        # carries them — the snapshot dict aliases _device_maps, but a
+        # sharded copy does not
+        mode_phases = (("nonaff_res", "nl_grad")
+                       if self.dtype == jnp.float32 else ("nonaff_nl",))
+        self._ensure_device_maps(*(ph for ph in mode_phases
+                                   if ph in self._host_maps))
 
         vol_nonaff = any(
             wp.local_assembly.assembled_weakform.affine_form_ids()

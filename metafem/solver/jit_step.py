@@ -243,7 +243,8 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                       maxiter: int = 60, max_refine: int = 10,
                       max_pass: int = 1, precond: str = "mg",
                       forcing: float = 1e-2, stall_ratio: float = 0.9,
-                      residual_mode: str = None, **sv_kwargs):
+                      residual_mode: str = None, rowshard_mesh=None,
+                      **sv_kwargs):
     """Newton / mixed-precision-iterative-refinement step with **exact
     residuals** and working-precision (f32) tangent solves.
 
@@ -276,6 +277,14 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
     (pikachu.jl:106) and far below — an f32-stored solution alone can
     only ever realize a ~1e-7|K||x| residual, which is why x persists in
     extended precision between steps.
+
+    ``rowshard_mesh``: scale-out layout (parallel/rowshard.py), same as
+    ``make_jitted_step``'s — the frozen A_td offset-SpMVs, the residual
+    pairs, and the tangent storage all land row-sharded over the mesh's
+    'el' axis; the fine-level MG V-cycle runs sharded (halo exchanges)
+    and every Krylov/Chebyshev dot psums over the mesh.  Pass a state
+    placed by ``shard_domain_state`` (which row-blocks the frozen
+    ``refined`` operator and the ``K_linear_td`` stack).
 
     Requires ``freeze_linear_tangent()``, ``freeze_refined_residual()``
     and ``setup_mg()`` (precond='mg', lattice meshes) or
@@ -373,6 +382,18 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             K = K + state["ghost_diag"]
         return K
 
+    if rowshard_mesh is not None:
+        from ..parallel.rowshard import (RowShardedMGOperator,
+                                         RowShardedOp, constrain)
+        con = lambda v: constrain(rowshard_mesh, v)
+    else:
+        RowShardedMGOperator = RowShardedOp = None
+        con = lambda v: v
+
+    def con_df(r):
+        return tf.DF(con(r.hi), con(r.lo)) if rowshard_mesh is not None \
+            else r
+
     def solve_f32(state, A, rr, tol_i):
         delta = jnp.zeros_like(rr)
         if mg_hier is not None or aux_static is not None:
@@ -386,6 +407,10 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 tree = {**state["auxmg_tree"],
                         "inv_diag": _safe_inv(A.diag())}
                 op = _auxmg.AuxMGOperator(A, tree, hier, desc)
+            if RowShardedMGOperator is not None:
+                # scale-out: the fine-level V-cycle runs sharded over
+                # the mesh (halo exchanges), Krylov dots psum
+                op = RowShardedMGOperator(op, rowshard_mesh)
             r0 = rr
             for _ in range(max_pass):
                 y_i, _, _ = sv_func(op, rr, tol=tol_i, maxiter=maxiter,
@@ -394,6 +419,8 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 rr = r0 - A.mv(delta)
         else:
             As, unscale = pr_jacobi(A, None)
+            if RowShardedOp is not None:
+                As = RowShardedOp(As, rowshard_mesh)
             r0 = rr
             for _ in range(max_pass):
                 d_i, _, _ = sv_func(As, rr, tol=tol_i, maxiter=maxiter,
@@ -439,7 +466,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             A64 = (ref["A_hi"].astype(f64)
                    + ref["A_lo"].astype(f64))     # [levels, n_storage]
             b64 = ref["b_hi"].astype(f64) + ref["b_lo"].astype(f64)
-            K_lin = combine_klin(state, K_params64.astype(sdtype))
+            K_lin = con(combine_klin(state, K_params64.astype(sdtype)))
 
             def residual_and_knl(dx):
                 xs = x_star_of(x, dx, alpha)                    # f64
@@ -451,7 +478,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                         "K_params": K_params64,
                         "t": t.astype(f64), "dt": dt64}
                 r_nl, K_nl = run_phase(st64, "nonaff_nl")
-                return r + r_nl, K_nl
+                return con(r + r_nl), con(K_nl)
 
             dx0 = initialize_dx(x, dt64, gamma)
             r0, K0 = residual_and_knl(dx0)
@@ -511,7 +538,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
         A_df = tf.DF(ref["A_hi"], ref["A_lo"])
         b_df = tf.DF(ref["b_hi"], ref["b_lo"])
         bnd = ref["bnd_dofs"]
-        K_lin = combine_klin(state, K_params64.astype(f32))
+        K_lin = con(combine_klin(state, K_params64.astype(f32)))
         alpha32 = jnp.asarray(alpha[:levels], f32)[:, None]
 
         # generalized-alpha predictor in df arithmetic
@@ -577,7 +604,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             st32 = {**state, "x_star": xs.hi,
                     "K_params": K_params64.astype(f32)}
             _, K_nl = run_phase(st32, "nl_grad")
-            return r, K_nl
+            return con_df(r), con(K_nl)
 
         def norm_n(r):
             return jnp.linalg.norm(r.hi) / sqrt_n

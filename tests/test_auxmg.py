@@ -141,7 +141,7 @@ class TestAuxMG:
 
 
 class TestRefinedStepUnstructured:
-    def test_df32_refined_step_with_coo_tail(self):
+    def _check_df32_coo_tail(self, itp_order, itg_order):
         """The pikachu production path: df32 refined step + frozen
         aux-space MG on an UNSTRUCTURED mesh, whose block-offset layout
         has a non-empty COO tail.  The tail's index arrays must ride the
@@ -150,7 +150,8 @@ class TestRefinedStepUnstructured:
         the remote-compile transport (HTTP 413, round-3 pikachu run)."""
         from metafem.linsolve import twofloat as tf
 
-        dom, geo, mesh = pikachu_3d.build(itp_order=2, itg_order=5,
+        dom, geo, mesh = pikachu_3d.build(itp_order=itp_order,
+                                          itg_order=itg_order,
                                           dtype=jnp.float32)
         layout = dom.pattern.offset_layout
         assert layout.n_coo > 0, "expected a COO tail on the tet mesh"
@@ -169,8 +170,20 @@ class TestRefinedStepUnstructured:
         _, _, res, _ = step(state, x0, jnp.float64(0.0), jnp.float64(1.0))
         assert float(res) < 1e-6, float(res)
 
+    def test_df32_refined_step_with_coo_tail(self):
+        """Default tier: order-1 pikachu (same COO-tail + df32 + auxmg
+        machinery, ~4x cheaper build)."""
+        self._check_df32_coo_tail(itp_order=1, itg_order=2)
+
+    @pytest.mark.slow
+    def test_df32_refined_step_with_coo_tail_order2(self):
+        """Slow tier: the production order-2 serendipity configuration
+        (pikachu.jl's own discretization)."""
+        self._check_df32_coo_tail(itp_order=2, itg_order=5)
+
 
 class TestAuxMGGradedAtScale:
+    @pytest.mark.slow
     def test_refine1_newton_converges(self):
         """Converged-SOLVE regression guard for the graded-mesh transfer
         defaults (lump out-of-radius couplings, 0.1 corner-weight clamp,

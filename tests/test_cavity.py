@@ -31,13 +31,16 @@ class TestCavity:
         # incompressibility: no runaway pressure
         assert np.isfinite(dom.workpieces[wp].mesh.fields["p"]).all()
 
+    @pytest.mark.slow
     def test_re5000_iterative_vs_ghia(self):
         """The reference's highest validated Reynolds number
         (2D_Script.jl:136-142, Re_arr ends at 5000, Ghia_Re5000.csv).
         Reduced 32x32 mesh keeps the suite feasible; the example's
         40x40 run (the reference's own size) measures 0.0264 — the
         thin Re-5000 boundary layers dominate the coarse-mesh error,
-        so the suite bar is wider than at Re 1000."""
+        so the suite bar is wider than at Re 1000.  Slow tier (~11 min);
+        the default tier covers the same solve class and Re continuation
+        through Re 1000/3200 below."""
         dom, geo, wp, params = cavity_2d.build(e_number=32)
         u_st = cavity_2d.run_re(dom, wp, 5000, params,
                                 solver="bicgstabl")

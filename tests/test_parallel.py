@@ -2,7 +2,11 @@
 data-parallel assembly must reproduce single-device results exactly, and
 the row-sharded solver layout (parallel/rowshard.py) must match the
 replicated path while actually landing K and the Krylov vectors on
-row-block shards (collectives visible in the compiled module)."""
+row-block shards (collectives visible in the compiled module).
+
+Two tiers: the default run exercises every layout on a ~10k-DOF strip
+(smoke); the ``slow`` tier repeats the production checks at >=100k DOF
+(run with --run-slow / METAFEM_TEST_SLOW=1)."""
 
 import numpy as np
 import jax
@@ -11,18 +15,22 @@ import pytest
 
 import metafem as mf
 from metafem import Bilinear
-from metafem.linsolve import krylov
+from metafem.linsolve import krylov, twofloat as tf
 from metafem.parallel import shard_domain_state
 from metafem.parallel.dataparallel import make_mesh
 from metafem.solver.domain import FEM_Domain
 
 
-@pytest.fixture(scope="module")
-def thermal_dom():
+def _make_strip(nel, lattice_pad=None, dtype=None, seed=1):
+    """Order-2 serendipity thermal strip with a nonlinear (radiation)
+    boundary — the fixture for the sharded solver layouts.  lattice_pad
+    rounds the leading lattice axis to the device mesh so vectors /
+    storage / lattice arrays genuinely split (uneven sizes silently
+    replicate)."""
     L1, L2 = 0.02, 0.01
-    vert, conn = mf.make_square((L1, L2), (10, 6))
+    vert, conn = mf.make_square((L1, L2), nel)
     geo = mf.construct_total_mesh(vert, conn)
-    dom = FEM_Domain(2)
+    dom = FEM_Domain(2) if dtype is None else FEM_Domain(2, dtype=dtype)
     wp = dom.add_workpiece(geo)
     eps = 1e-9
     ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
@@ -39,58 +47,177 @@ def thermal_dom():
         + 3.0 * Bilinear(T, n[i] * T.d(i))
         + 0.7 * 5.669e-8 * Bilinear(T, 323.15 ** 4 - T ** 4))
     dom.initialize_local_assembly(explicit_max_sd_order=1)
-    dom.mesh_classical(itp_order=2, itg_order=5, itp_type="Serendipity")
-    dom.assemble_global_variables()
-    dom.compile()
-    mesh = dom.workpieces[wp].mesh
-    rng = np.random.default_rng(0)
-    dom.set_field(wp, "T", 300 + 10 * rng.random(mesh.n_cp))
-    dom.set_field(wp, "s", rng.random(mesh.n_cp))
-    dom.refresh_fields()
-    dom.assemble_x()
-    return dom
-
-
-@pytest.fixture(scope="module")
-def strip_dom_100k():
-    """~108k DOF: (280, 128) order-2 serendipity thermal strip with a
-    nonlinear (radiation) boundary — the at-scale fixture for the
-    row-sharded solver layouts.  lattice_pad=8 rounds the leading
-    lattice axis to the 8-device mesh so vectors / storage / lattice
-    arrays genuinely split (uneven sizes silently replicate)."""
-    L1, L2 = 0.02, 0.01
-    vert, conn = mf.make_square((L1, L2), (280, 128))
-    geo = mf.construct_total_mesh(vert, conn)
-    dom = FEM_Domain(2)
-    wp = dom.add_workpiece(geo)
-    eps = 1e-9
-    ends = mf.select_facets(geo, lambda c: (c[:, 0] < eps)
-                            | (c[:, 0] > L1 - eps))
-    bg = dom.add_boundary(wp, ends)
-    T = dom.internal_var("T")
-    s = dom.external_var("s", "CONTROLPOINT_VAR")
-    n = dom.sym("n")
-    i = mf.index("i")
-    dom.assign_workpiece_weakform(
-        wp, -3.0 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
-    dom.assign_boundary_weakform(
-        wp, bg, 1000.0 * Bilinear(T, 1173.15 - T)
-        + 3.0 * Bilinear(T, n[i] * T.d(i))
-        + 0.7 * 5.669e-8 * Bilinear(T, 323.15 ** 4 - T ** 4))
-    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    kw = {} if lattice_pad is None else {"lattice_pad": lattice_pad}
     dom.mesh_classical(itp_order=2, itg_order=5, itp_type="Serendipity",
-                       lattice_pad=8)
+                       **kw)
     dom.assemble_global_variables()
     dom.compile()
     mesh0 = dom.workpieces[wp].mesh
-    assert dom.pattern.basicfield_size >= 100_000
-    assert dom.pattern.basicfield_size % 8 == 0
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     dom.set_field(wp, "T", 300 + 10 * rng.random(mesh0.n_cp))
     dom.set_field(wp, "s", rng.random(mesh0.n_cp))
     dom.refresh_fields()
     dom.assemble_x()
     return dom
+
+
+@pytest.fixture(scope="module")
+def thermal_dom():
+    return _make_strip((10, 6))
+
+
+@pytest.fixture(scope="module")
+def strip_dom_small():
+    """~10k DOF: the default-tier fixture for the row-sharded layouts."""
+    dom = _make_strip((72, 32), lattice_pad=8)
+    assert dom.pattern.basicfield_size % 8 == 0
+    return dom
+
+
+@pytest.fixture(scope="module")
+def strip_dom_100k():
+    """~108k DOF: the at-scale (slow-tier) fixture."""
+    dom = _make_strip((280, 128), lattice_pad=8)
+    assert dom.pattern.basicfield_size >= 100_000
+    assert dom.pattern.basicfield_size % 8 == 0
+    return dom
+
+
+def _need_mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    return make_mesh(min(8, len(jax.devices())))
+
+
+def _assert_collectives(txt, what):
+    assert any(c in txt for c in
+               ("reduce-scatter", "all-reduce", "all-gather",
+                "collective-permute")), (
+        f"no collectives in the compiled {what} — layout replicated?")
+
+
+def _check_rowshard_step(dom, maxiter):
+    """Row-sharded K + sharded-Krylov layout: the full jitted Newton step
+    over the 8-device mesh must (a) reproduce the single-device solution
+    and (b) compile to a genuinely partitioned module (cross-device
+    collectives present), with the assembled K landing on storage shards
+    rather than replicated."""
+    mesh = _need_mesh()
+    dom.converge_tol = 1e-9
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+
+    step_sh = dom.make_jitted_step(
+        sv_func=krylov.bicgstab, maxiter=maxiter, max_newton=4,
+        max_pass=2, rowshard_mesh=mesh)
+    x_rep = jax.device_put(dom.x, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
+    _assert_collectives(step_sh.lower(*args).compile().as_text(), "step")
+
+    x_sh, _, res_sh, _ = step_sh(*args)
+    assert float(res_sh) < 1e-9
+
+    step0 = dom.make_jitted_step(
+        sv_func=krylov.bicgstab, maxiter=maxiter, max_newton=4,
+        max_pass=2)
+    x0, _, res0, _ = step0(state, dom.x, jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res0) < 1e-9
+    scale = np.abs(np.asarray(x0)).max()
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x0),
+                               atol=1e-8 * scale)
+
+
+def _check_rowshard_mg(dom):
+    """The PRODUCTION multi-device path: MG-preconditioned row-sharded
+    step.  Jacobi-preconditioned Krylov stalls at ~5e-2 at 1M DOF
+    (kappa ~ h^-2, PERFORMANCE.md), so the scale-out layout is only
+    production-grade with the V-cycle inside it: the frozen fine level
+    runs sharded over the mesh (shard_mg_state), coarse levels
+    replicated.  Must (a) converge to 1e-9, (b) match the single-device
+    MG step, (c) compile to a partitioned module with collectives."""
+    mesh = _need_mesh()
+    dom.converge_tol = 1e-9
+    dom.freeze_linear_tangent()
+    dom.setup_mg(tune=False)
+
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+    assert sharded["mg_frozen"] is not None
+    # fine-level smoother state actually lands SPLIT (a replicated
+    # array also reports all devices — check the shard shapes)
+    fine = sharded["mg_frozen"][0]
+    n_dev = mesh.devices.size
+    assert not fine["inv_diag"].sharding.is_fully_replicated
+    assert (fine["inv_diag"].addressable_shards[0].data.shape[1]
+            == fine["inv_diag"].shape[1] // n_dev)
+    assert not fine["A"].vals.sharding.is_fully_replicated
+    assert (fine["A"].vals.addressable_shards[0].data.shape[0]
+            == fine["A"].vals.shape[0] // n_dev)
+
+    kw = dict(sv_func=krylov.bicgstab, maxiter=100, max_newton=4,
+              max_pass=2, precond="mg", reuse_mg=True,
+              static_k_linear=True)
+    step_sh = dom.make_jitted_step(rowshard_mesh=mesh, **kw)
+    x_rep = jax.device_put(dom.x, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
+    _assert_collectives(step_sh.lower(*args).compile().as_text(),
+                        "MG step")
+
+    x_sh, _, res_sh, _ = step_sh(*args)
+    assert float(res_sh) < 1e-9
+
+    step0 = dom.make_jitted_step(**kw)
+    x0, _, res0, _ = step0(state, dom.x, jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res0) < 1e-9
+    scale = np.abs(np.asarray(x0)).max()
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x0),
+                               atol=1e-8 * scale)
+
+
+def _check_refined_rowshard(dom):
+    """The production-tolerance path, sharded: make_refined_step with
+    rowshard_mesh must converge to 1e-9 (exact frozen-operator
+    residuals), match the single-device refined step, and compile to a
+    partitioned module.  The frozen A_td / b land row-blocked
+    (shard_domain_state), the fine MG level runs sharded."""
+    mesh = _need_mesh()
+    dom.converge_tol = 1e-9
+    dom.freeze_linear_tangent()
+    dom.setup_mg(tune=False)
+    dom.freeze_refined_residual()
+
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+    n_dev = mesh.devices.size
+    ref = sharded["refined"]
+    assert not ref["A_hi"].sharding.is_fully_replicated
+    assert (ref["A_hi"].addressable_shards[0].data.shape[1]
+            == ref["A_hi"].shape[1] // n_dev)
+    assert not ref["b_hi"].sharding.is_fully_replicated
+
+    kw = dict(sv_func=krylov.bicgstab, maxiter=100, max_refine=10,
+              max_pass=1, precond="mg")
+    step_sh = dom.make_refined_step(rowshard_mesh=mesh, **kw)
+    x_rep = jax.device_put(jnp.asarray(dom.x), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
+    _assert_collectives(step_sh.lower(*args).compile().as_text(),
+                        "refined step")
+
+    x_sh, _, res_sh, _ = step_sh(*args)
+    assert float(res_sh) < 1e-9
+
+    step0 = dom.make_refined_step(**kw)
+    x0, _, res0, _ = step0(state, jnp.asarray(dom.x), jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res0) < 1e-9
+    x_sh64, x064 = np.asarray(x_sh), np.asarray(x0)
+    scale = np.abs(x064).max()
+    np.testing.assert_allclose(x_sh64, x064, atol=1e-8 * scale)
 
 
 class TestElementSharding:
@@ -115,104 +242,6 @@ class TestElementSharding:
         np.testing.assert_allclose(np.asarray(KL1), np.asarray(KL0),
                                    rtol=1e-12, atol=1e-12)
 
-    def test_rowshard_step_matches_and_shards(self, strip_dom_100k):
-        """Row-sharded K + sharded-Krylov layout at >=100k DOF: the full
-        jitted Newton step over the 8-device mesh must (a) reproduce the
-        single-device solution and (b) compile to a genuinely partitioned
-        module (cross-device collectives present), with the assembled K
-        landing on storage shards rather than replicated."""
-        if len(jax.devices()) < 2:
-            pytest.skip("needs the multi-device CPU mesh")
-        dom = strip_dom_100k
-        dom.converge_tol = 1e-9
-
-        mesh = make_mesh(min(8, len(jax.devices())))
-        state = dom._runtime_state()
-        sharded = shard_domain_state(state, mesh)
-
-        step_sh = dom.make_jitted_step(
-            sv_func=krylov.bicgstab, maxiter=4000, max_newton=4,
-            max_pass=2, rowshard_mesh=mesh)
-        x_rep = jax.device_put(dom.x, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
-        args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
-
-        # (b): the compiled module must be partitioned — cross-device
-        # collectives present (reduce-scatter/all-reduce for the K
-        # shards and the psum'd Krylov dots)
-        txt = step_sh.lower(*args).compile().as_text()
-        assert any(c in txt for c in
-                   ("reduce-scatter", "all-reduce", "all-gather")), (
-            "no collectives in the compiled step — layout replicated?")
-
-        x_sh, _, res_sh, _ = step_sh(*args)
-        assert float(res_sh) < 1e-9
-
-        step0 = dom.make_jitted_step(
-            sv_func=krylov.bicgstab, maxiter=4000, max_newton=4,
-            max_pass=2)
-        x0, _, res0, _ = step0(state, dom.x, jnp.float64(0.0),
-                               jnp.float64(1.0))
-        assert float(res0) < 1e-9
-        scale = np.abs(np.asarray(x0)).max()
-        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x0),
-                                   atol=1e-8 * scale)
-
-    def test_rowshard_mg_step_matches_and_converges(self, strip_dom_100k):
-        """The PRODUCTION multi-device path: MG-preconditioned row-sharded
-        step at >=100k DOF.  Jacobi-preconditioned Krylov stalls at ~5e-2
-        at 1M DOF (kappa ~ h^-2, PERFORMANCE.md), so the scale-out layout
-        is only production-grade with the V-cycle inside it: the frozen
-        fine level runs sharded over the mesh (shard_mg_state), coarse
-        levels replicated.  Must (a) converge to 1e-6 and below, (b)
-        match the single-device MG step, (c) compile to a partitioned
-        module with cross-device collectives."""
-        if len(jax.devices()) < 2:
-            pytest.skip("needs the multi-device CPU mesh")
-        dom = strip_dom_100k
-        dom.converge_tol = 1e-9
-        dom.freeze_linear_tangent()
-        dom.setup_mg(tune=False)
-
-        mesh = make_mesh(min(8, len(jax.devices())))
-        state = dom._runtime_state()
-        sharded = shard_domain_state(state, mesh)
-        assert sharded["mg_frozen"] is not None
-        # fine-level smoother state actually lands SPLIT (a replicated
-        # array also reports all devices — check the shard shapes)
-        fine = sharded["mg_frozen"][0]
-        n_dev = mesh.devices.size
-        assert not fine["inv_diag"].sharding.is_fully_replicated
-        assert (fine["inv_diag"].addressable_shards[0].data.shape[1]
-                == fine["inv_diag"].shape[1] // n_dev)
-        assert not fine["A"].vals.sharding.is_fully_replicated
-        assert (fine["A"].vals.addressable_shards[0].data.shape[0]
-                == fine["A"].vals.shape[0] // n_dev)
-
-        kw = dict(sv_func=krylov.bicgstab, maxiter=100, max_newton=4,
-                  max_pass=2, precond="mg", reuse_mg=True,
-                  static_k_linear=True)
-        step_sh = dom.make_jitted_step(rowshard_mesh=mesh, **kw)
-        x_rep = jax.device_put(dom.x, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
-        args = (sharded, x_rep, jnp.float64(0.0), jnp.float64(1.0))
-        txt = step_sh.lower(*args).compile().as_text()
-        assert any(c in txt for c in
-                   ("reduce-scatter", "all-reduce", "all-gather",
-                    "collective-permute")), (
-            "no collectives in the compiled MG step — layout replicated?")
-
-        x_sh, _, res_sh, _ = step_sh(*args)
-        assert float(res_sh) < 1e-9
-
-        step0 = dom.make_jitted_step(**kw)
-        x0, _, res0, _ = step0(state, dom.x, jnp.float64(0.0),
-                               jnp.float64(1.0))
-        assert float(res0) < 1e-9
-        scale = np.abs(np.asarray(x0)).max()
-        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x0),
-                                   atol=1e-8 * scale)
-
     def test_sharding_layout(self, thermal_dom):
         if len(jax.devices()) < 2:
             pytest.skip("needs the multi-device CPU mesh")
@@ -224,3 +253,59 @@ class TestElementSharding:
         assert el.shape[0] % mesh.devices.size == 0
         # each device holds exactly one element block
         assert len(el.sharding.device_set) == mesh.devices.size
+
+    # ---- default tier: every layout at ~10k DOF ----
+    def test_rowshard_step_smoke(self, strip_dom_small):
+        _check_rowshard_step(strip_dom_small, maxiter=1200)
+
+    def test_rowshard_mg_step_smoke(self, strip_dom_small):
+        _check_rowshard_mg(strip_dom_small)
+
+    def test_refined_rowshard_step_smoke(self, strip_dom_small):
+        _check_refined_rowshard(strip_dom_small)
+
+    # ---- slow tier: the same checks at >=100k DOF ----
+    @pytest.mark.slow
+    def test_rowshard_step_matches_and_shards(self, strip_dom_100k):
+        _check_rowshard_step(strip_dom_100k, maxiter=4000)
+
+    @pytest.mark.slow
+    def test_rowshard_mg_step_matches_and_converges(self, strip_dom_100k):
+        _check_rowshard_mg(strip_dom_100k)
+
+    @pytest.mark.slow
+    def test_refined_rowshard_step_100k(self, strip_dom_100k):
+        _check_refined_rowshard(strip_dom_100k)
+
+
+def test_refined_rowshard_df32_mode():
+    """The TPU production arithmetic (df32 two-float residuals), sharded:
+    an f32 domain stepped with residual_mode='df32' over the mesh must
+    converge below the f32 floor and match the single-device df32 step.
+    Runs on the CPU mesh via the fusion-pinned jit (_df_jit)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    dom = _make_strip((72, 32), lattice_pad=8, dtype=jnp.float32)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    dom.converge_tol = 1e-9
+    dom.freeze_linear_tangent()
+    dom.setup_mg(tune=False)
+    dom.freeze_refined_residual()
+
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+    kw = dict(sv_func=krylov.bicgstab, maxiter=100, max_refine=10,
+              max_pass=1, precond="mg", residual_mode="df32")
+    step_sh = dom.make_refined_step(rowshard_mesh=mesh, **kw)
+    x0df = tf.df_from_f64(np.asarray(dom.x, np.float64))
+    x_sh, _, res_sh, _ = step_sh(sharded, x0df, jnp.float64(0.0),
+                                 jnp.float64(1.0))
+    assert float(res_sh) < 1e-9
+
+    step0 = dom.make_refined_step(**kw)
+    x_0, _, res0, _ = step0(state, x0df, jnp.float64(0.0),
+                            jnp.float64(1.0))
+    assert float(res0) < 1e-9
+    a = np.asarray(tf.df_to_f64(x_sh))
+    b = np.asarray(tf.df_to_f64(x_0))
+    np.testing.assert_allclose(a, b, atol=1e-8 * np.abs(b).max())

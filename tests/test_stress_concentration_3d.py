@@ -17,7 +17,13 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(sc.REF_DIR), reason="Abaqus fixtures not available")
 
 
+@pytest.mark.slow
 class TestStressConcentration3D:
+    """Slow tier (~9 min fixture: the fixed Abaqus hex mesh cannot be
+    coarsened).  The default tier keeps the same code paths — .inp
+    import, penalty BCs, stress recovery vs Abaqus lines — via
+    test_stress_concentration.py (2D)."""
+
     @pytest.fixture(scope="class")
     def solution(self):
         return sc.solve()

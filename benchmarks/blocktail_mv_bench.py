@@ -22,33 +22,37 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
     nbr = -(-n // b)
     nb = int(nnz * fill / (b * b))
     print(f"n={n} nnz={nnz} b={b} nb={nb} "
           f"(block storage {nb*b*b*4/1e9:.2f} GB)", flush=True)
 
+    # generate ON DEVICE: shipping ~2.4 GB of synthetic host arrays
+    # through the remote transport dominated the wall clock
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+
     # scalar tail
-    rows = jnp.asarray(np.sort(rng.integers(0, n, nnz)).astype(np.int32))
-    cols = jnp.asarray(rng.integers(0, n, nnz).astype(np.int32))
-    vals = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
+    rows = jnp.sort(jax.random.randint(keys[0], (nnz,), 0, n, jnp.int32))
+    cols = jax.random.randint(keys[1], (nnz,), 0, n, jnp.int32)
+    vals = jax.random.normal(keys[2], (nnz,), jnp.float32)
 
     def scalar_mv(x, c):
         vals_, rows_, cols_ = c
         y = jax.ops.segment_sum(vals_ * x[cols_], rows_, num_segments=n)
         return y / jnp.linalg.norm(y)
 
-    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x0 = jax.random.normal(keys[3], (n,), jnp.float32)
     t = chain_time(scalar_mv, x0, (vals, rows, cols), n=10)
     print(f"scalar tail : {t*1e3:8.2f} ms  "
           f"({nnz/t/1e9:.2f} G gathers/s)", flush=True)
 
     # block tail (locality-ish block cols: near the block row)
-    brows = jnp.asarray(np.sort(rng.integers(0, nbr, nb)).astype(np.int32))
-    spread = rng.integers(-2000, 2000, nb)
-    bcols = jnp.asarray(np.clip(np.asarray(brows) + spread, 0,
-                                nbr - 1).astype(np.int32))
-    B = jnp.asarray(rng.standard_normal((nb, b, b)).astype(np.float32))
+    brows = jnp.sort(jax.random.randint(keys[4], (nb,), 0, nbr,
+                                        jnp.int32))
+    bcols = jnp.clip(brows + jax.random.randint(keys[5], (nb,), -2000,
+                                                2000), 0,
+                     nbr - 1).astype(jnp.int32)
+    B = jax.random.normal(keys[5], (nb, b, b), jnp.float32)
 
     def blk_mv(x, c):
         B_, brows_, bcols_ = c

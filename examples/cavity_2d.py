@@ -20,13 +20,13 @@ from metafem.solver.domain import FEM_Domain
 GHIA_DIR = "/root/reference/examples/incompressible_flow/lid_driven_cavity_flow"
 
 
-def build(e_number=40, L_box=1.0, rho=1e3, mu=1.0, Cb=128):
+def build(e_number=40, L_box=1.0, rho=1e3, mu=1.0, Cb=128, dtype=None):
     dx = L_box / e_number
     tau_b = mu / rho * Cb / dx
     vert, conn = mf.make_square((L_box, L_box), (e_number, e_number))
     geo = mf.construct_total_mesh(vert, conn)
 
-    dom = FEM_Domain(2)
+    dom = FEM_Domain(2) if dtype is None else FEM_Domain(2, dtype=dtype)
     wp = dom.add_workpiece(geo)
     eps_g = dx * 0.01
     walls = mf.select_facets(

@@ -48,7 +48,7 @@ def radial_return(e6, ep, b, Y, mu, lam, Eb, Ep, f_res):
 
 
 def build(e_number=4, LW_ratio=10, Ey=100e3, nu=0.0, rho=1e3, c=2.0,
-          f_res=1.0):
+          f_res=1.0, dtype=None):
     L_box = 1.0
     size = (L_box * LW_ratio, L_box, L_box)
     nel = (int(e_number * LW_ratio / 4), e_number, e_number)
@@ -58,7 +58,7 @@ def build(e_number=4, LW_ratio=10, Ey=100e3, nu=0.0, rho=1e3, c=2.0,
     mu = Ey / (2 * (1 + nu))
     tau_b = 1000 * Ey / L_box ** 2
 
-    dom = FEM_Domain(3)
+    dom = FEM_Domain(3) if dtype is None else FEM_Domain(3, dtype=dtype)
     wp = dom.add_workpiece(geo)
     eps_g = L_box / e_number * 0.01
     left = mf.select_facets(geo, lambda cc: cc[:, 0] < eps_g)

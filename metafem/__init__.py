@@ -12,7 +12,9 @@ Newton time loop.
 from . import config  # noqa: F401  (enables x64 before any jnp arrays)
 from .config import set_float_dtype, fdtype, idtype
 from .symbolics import (Bilinear, Expr, SymRef, index, indices, fn, log,
-                        ifelse, d, visualize)
+                        ifelse, d, visualize, register_rule,
+                        unregister_rule, registered_rules,
+                        register_diff_rule)
 from .solver import FEM_Domain
 from .mesh.builders import (make_square, make_brick, refine_simplex,
                             select_facets)

@@ -204,16 +204,27 @@ class DFLoweringContext(LoweringContext):
 
     @staticmethod
     def _fallback(fn, args):
-        """Emulated-f64 evaluation of an op without a DF kernel."""
+        """Emulated-f64 evaluation of an op without a DF kernel.  User
+        callbacks backing multi-component integration-point variables
+        (e.g. a Voigt plastic-strain tensor) return a tuple of
+        components — split each back to a DF pair so _lower_itg_var can
+        distribute them."""
         args64 = [tf.df_to_f64(a) if isinstance(a, DF)
                   else (jnp.float64(a) if isinstance(a, float) else a)
                   for a in args]
-        out = jnp.asarray(fn(*args64))
-        if out.dtype == jnp.bool_:
-            return out
-        out = out.astype(jnp.float64)
-        hi = out.astype(jnp.float32)
-        return DF(hi, (out - hi.astype(jnp.float64)).astype(jnp.float32))
+        out = fn(*args64)
+
+        def split(o):
+            o = jnp.asarray(o)
+            if o.dtype == jnp.bool_:
+                return o
+            o = o.astype(jnp.float64)
+            hi = o.astype(jnp.float32)
+            return DF(hi, (o - hi.astype(jnp.float64)).astype(jnp.float32))
+
+        if isinstance(out, (tuple, list)):
+            return tuple(split(o) for o in out)
+        return split(out)
 
 
 def assemble_part_df(tb, cw, part_state: dict, bilinears_res,

@@ -63,6 +63,12 @@ class AssembleWeakform:
     innervar_infos: List[InnervarInfo]
     linear_extervar_infos: List[ExtervarInfo]
     extervar_infos: List[ExtervarInfo]
+    #: forms whose RESIDUE references an integration-point variable
+    #: (other than the geometric normal n): those re-evaluate user
+    #: callbacks / itg-var definitions from the current x each iteration
+    #: (e.g. J2's radial return), so the residue is x-dependent even
+    #: when every gradient is classified linear — never affine
+    itg_form_ids: Set[int] = dataclasses.field(default_factory=set)
 
     def is_empty(self) -> bool:
         return not (self.residues or self.linear_gradients
@@ -74,7 +80,8 @@ class AssembleWeakform:
         residue(0) holds exactly at the discrete level.  Used by the
         refined-residual path to replace per-iteration volume assembly
         with frozen f64 tangent streams."""
-        nonaffine = {b.form_id for b in self.nonlinear_gradients}
+        nonaffine = ({b.form_id for b in self.nonlinear_gradients}
+                     | self.itg_form_ids)
         return {b.form_id for b in self.residues} - nonaffine
 
 
@@ -139,6 +146,26 @@ def _extract(tb, internal, external, src) -> None:
         _extract(tb, internal, external, s)
 
 
+def _has_itg_var(tb, src) -> bool:
+    """True when ``src`` references an integration-point variable (other
+    than the geometric normal n), including through definitions — such a
+    term re-evaluates its itg-var definition (e.g. a user radial-return
+    callback) from the CURRENT x at every assembly, so it is x-dependent
+    even when its collect_variations gradients are all x-independent."""
+    if isinstance(src, (int, float)):
+        return False
+    if isinstance(src, Word):
+        attrs = tb.registry.attributes(src.base)
+        if INTEGRATION_POINT_VAR in attrs and src.base != "n":
+            return True
+        if INTERNAL_VAR in attrs or EXTERNAL_VAR in attrs:
+            return False
+        return _has_itg_var(tb, tb.evaluate_tensor(src))
+    if isinstance(src, Term):
+        return any(_has_itg_var(tb, s) for s in src.subterms)
+    return False
+
+
 def _innervar_info(dim: int, w: Word,
                    bvar_mapping: Dict[str, int]) -> InnervarInfo:
     return (word_total_sym(dim, w), w.td, tuple(w.sd_ids),
@@ -169,12 +196,15 @@ def construct_assemble_weakform(tb: TensorTable,
             if it not in dst:
                 dst.append(it)
 
+    itg_form_ids: Set[int] = set()
     for form_id, bf in enumerate(forms):
         dual_info = _innervar_info(dim, bf.dual_word, bvar_mapping)
         inner_words, exter_words = extract_words(tb, bf.base_term)
 
         residues.append(AssembleBilinear(bf.base_term, dual_info, None,
                                          form_id))
+        if _has_itg_var(tb, bf.base_term):
+            itg_form_ids.add(form_id)
         _union(innervar_infos,
                [_innervar_info(dim, w, bvar_mapping) for w in inner_words])
         _union(extervar_infos, [_extervar_info(dim, w) for w in exter_words])
@@ -197,7 +227,7 @@ def construct_assemble_weakform(tb: TensorTable,
 
     return AssembleWeakform(residues, linear_gradients, nonlinear_gradients,
                             innervar_infos, linear_extervar_infos,
-                            extervar_infos)
+                            extervar_infos, itg_form_ids)
 
 
 def _sd_order(wf: AssembleWeakform) -> int:

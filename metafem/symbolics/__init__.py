@@ -36,7 +36,9 @@ from .registry import (
     INTEGRATION_POINT_VAR,
     SYMMETRIC_TENSOR,
 )
-from .simplify import simplify_common, replace_special_terms, unroll_and_simplify
+from .simplify import (simplify_common, replace_special_terms,
+                       unroll_and_simplify, register_rule,
+                       unregister_rule, registered_rules)
 from .tensor_table import TensorTable
 from .diff import (
     diff_time,
@@ -44,6 +46,8 @@ from .diff import (
     diff_variation,
     diff_symbol,
     collect_variations,
+    register_diff_rule,
+    DIFF_RULES,
 )
 from .weakform import build_weakform, BilinearForm
 from .api import (Expr, SymRef, index, indices, Bilinear, fn, log, ifelse,

@@ -15,6 +15,33 @@ from .registry import (CONTROLPOINT_VAR, EXTERNAL_VAR, INTERNAL_VAR)
 from .simplify import simplify_common
 
 
+#: chain rules for function ops: op -> rule(subterms, d) where ``d`` is
+#: the recursive differentiator; returns the derivative term.  The
+#: reference's analog is its exported DIFF_RULES rewrite-rule vector
+#: (09_Differentiation.jl:4-13) — user-extensible via register_diff_rule.
+DIFF_RULES: Dict[str, Callable] = {
+    "exp": lambda s, d: mul([d(s[0]), call("exp", s[0])]),
+    "sqrt": lambda s, d: mul([d(s[0]), 0.5,
+                              pow_(call("sqrt", s[0]), -1.0)]),
+    "sin": lambda s, d: mul([d(s[0]), call("cos", s[0])]),
+    "cos": lambda s, d: mul([-1.0, d(s[0]), call("sin", s[0])]),
+    "tan": lambda s, d: mul([d(s[0]),
+                             pow_(call("cos", s[0]), -2.0)]),
+    "tanh": lambda s, d: mul([d(s[0]), add(
+        [1.0, mul([-1.0, pow_(call("tanh", s[0]), 2.0)])])]),
+    "abs": lambda s, d: mul([d(s[0]), call("sign", s[0])]),
+    "sign": lambda s, d: 0.0,
+}
+
+
+def register_diff_rule(op: str, rule: Callable) -> None:
+    """Extend the differentiation engine with a chain rule for a custom
+    function op: ``rule(subterms, d) -> derivative term`` where
+    ``d(subterm)`` recursively differentiates.  Pairs with
+    FEM_Domain.register_function (the numeric evaluation of the op)."""
+    DIFF_RULES[op] = rule
+
+
 def _diff(t: GroundTerm, leaf: Callable[[Word], GroundTerm]) -> GroundTerm:
     if isinstance(t, (int, float)):
         return 0.0
@@ -41,7 +68,12 @@ def _diff(t: GroundTerm, leaf: Callable[[Word], GroundTerm]) -> GroundTerm:
     if t.op == "ifelse":
         c, x, y = t.subterms
         return call("ifelse", c, _diff(x, leaf), _diff(y, leaf))
-    raise ValueError(f"cannot differentiate through operation {t.op!r}")
+    rule = DIFF_RULES.get(t.op)
+    if rule is not None:
+        return rule(list(t.subterms), lambda s: _diff(s, leaf))
+    raise ValueError(
+        f"cannot differentiate through operation {t.op!r}; register a "
+        f"chain rule via metafem.register_diff_rule")
 
 
 def _attrs(tb, w: Word):

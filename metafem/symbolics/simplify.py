@@ -119,8 +119,79 @@ def check_merge(t: GroundTerm) -> GroundTerm:
     return construct_term(t.op, subs)
 
 
+# ---------------------------------------------------------------------------
+# user-extensible rewrite rules
+#
+# The reference exposes @Define_Rewrite_Rule / @Define_Semantic_Constraint /
+# @Define_Aux_Semantics (symbolics/05_Syntactic_Structure.jl:116-160) plus a
+# backtracking pattern matcher (06_Rewrite.jl:1-205) so users can add
+# simplification rules.  Here a rule is plain Python — no pattern DSL, as
+# the reference itself retired the DSL for its hot path
+# (rules_archive/legacy_rules.jl:1-4): a callable ``rule(term) ->
+# replacement | None`` inspecting the Term/Word IR directly.  Rules are
+# applied to every (sub)term to fixpoint inside simplify_common, i.e. at
+# every @Def / weak-form build / differentiation — the same surface the
+# reference's apply_Rules covers (06_Rewrite.jl:173-205).
+# ---------------------------------------------------------------------------
+
+_USER_RULES: list = []          # [(name, fn)]
+_MAX_REWRITES = 200
+
+
+def register_rule(fn, *, name: str | None = None) -> str:
+    """Register ``fn(term) -> replacement | None`` as a rewrite rule.
+
+    ``term`` is a Word / Term / number from metafem.symbolics.ir; return
+    a replacement to rewrite, or None to pass.  Rules run during every
+    simplification, so register BEFORE building weak forms and keep
+    them cheap.  Returns the rule name (for unregister_rule)."""
+    name = name or getattr(fn, "__name__", None) or f"rule{len(_USER_RULES)}"
+    _USER_RULES.append((name, fn))
+    return name
+
+
+def unregister_rule(name: str) -> None:
+    _USER_RULES[:] = [(n, f) for (n, f) in _USER_RULES if n != name]
+
+
+def registered_rules() -> list:
+    return [n for (n, _) in _USER_RULES]
+
+
+def _apply_user_rules(t: GroundTerm) -> GroundTerm:
+    for _ in range(_MAX_REWRITES):
+        # head rewrite to fixpoint
+        for _ in range(_MAX_REWRITES):
+            for _, fn in _USER_RULES:
+                r = fn(t)
+                if r is not None and r != t:
+                    t = r
+                    break
+            else:
+                break
+        else:
+            raise ValueError(
+                f"user rewrite rules did not reach a head fixpoint in "
+                f"{_MAX_REWRITES} steps on {t!r}")
+        # descend; a child rewrite may expose a new head match
+        if not isinstance(t, Term):
+            return t
+        subs = [_apply_user_rules(s) for s in t.subterms]
+        if subs == list(t.subterms):
+            return t
+        t = construct_term(t.op, subs)
+    raise ValueError(
+        f"user rewrite rules did not reach a fixpoint in "
+        f"{_MAX_REWRITES} rounds (rule cycle?) on {t!r}")
+
+
 def simplify_common(t: GroundTerm) -> GroundTerm:
-    return check_merge(expand_and_flatten(t))
+    t = check_merge(expand_and_flatten(t))
+    if _USER_RULES:
+        t2 = _apply_user_rules(t)
+        if t2 != t:
+            t = check_merge(expand_and_flatten(t2))
+    return t
 
 
 # ---------------------------------------------------------------------------

@@ -262,3 +262,99 @@ def test_api_expression_building(env):
     wf = -3.0 * Bilinear(T.d("i"), T.d("i")) + Bilinear(T, s + 0.0)
     forms = build_weakform(tb, as_term(wf))
     assert len(forms) == 3  # T, T_x1, T_x2
+
+
+# ---------------------------------------------------------------------------
+# user-extensible rules (the reference's @Define_Rewrite_Rule /
+# DIFF_RULES surface, 05_Syntactic_Structure.jl:116-160 /
+# 09_Differentiation.jl:4-13 — re-expressed as plain-Python hooks)
+# ---------------------------------------------------------------------------
+
+def test_register_rewrite_rule():
+    from metafem.symbolics import (register_rule, registered_rules,
+                                   unregister_rule)
+    from metafem.symbolics.ir import Term, call
+
+    def sq_to_product(t):
+        if isinstance(t, Term) and t.op == "sq":
+            return mul([t.subterms[0], t.subterms[0]])
+        return None
+
+    name = register_rule(sq_to_product)
+    try:
+        assert "sq_to_product" in registered_rules()
+        # rewrites at any depth and feeds back into the merger:
+        # 3*sq(T) + T^2  ->  4*T^2
+        t = simplify_common(add([mul([3.0, call("sq", W("T"))]),
+                                 pow_(W("T"), 2.0)]))
+        assert t == mul([4.0, pow_(W("T"), 2.0)])
+    finally:
+        unregister_rule(name)
+    assert "sq_to_product" not in registered_rules()
+    # rule gone: sq stays opaque
+    t = simplify_common(call("sq", W("T")))
+    assert isinstance(t, __import__("metafem").symbolics.ir.Term)
+    assert t.op == "sq"
+
+
+def test_rewrite_rule_cycle_raises():
+    from metafem.symbolics import register_rule, unregister_rule
+    from metafem.symbolics.ir import Term, call
+
+    def ping(t):
+        if isinstance(t, Term) and t.op == "ping":
+            return call("pong", *t.subterms)
+        return None
+
+    def pong(t):
+        if isinstance(t, Term) and t.op == "pong":
+            return call("ping", *t.subterms)
+        return None
+
+    n1, n2 = register_rule(ping), register_rule(pong)
+    try:
+        with pytest.raises(ValueError, match="fixpoint"):
+            simplify_common(call("ping", W("T")))
+    finally:
+        unregister_rule(n1)
+        unregister_rule(n2)
+
+
+def test_builtin_function_chain_rules(env):
+    reg, tb = env
+    from metafem.symbolics.ir import call
+
+    # d/dx exp(T) = T_;x * exp(T)
+    t = diff_space(call("exp", W("T")), 1, tb)
+    assert t == mul([W("T", sd=(1,)), call("exp", W("T"))])
+    # d/dx sin(T) = T_;x * cos(T)
+    t = diff_space(call("sin", W("T")), 1, tb)
+    assert t == mul([W("T", sd=(1,)), call("cos", W("T"))])
+
+
+def test_register_diff_rule(env):
+    reg, tb = env
+    from metafem.symbolics import register_diff_rule
+    from metafem.symbolics.diff import DIFF_RULES
+    from metafem.symbolics.ir import call
+
+    # a custom scalar op with a user-supplied chain rule:
+    # softplus'(x) = sigmoid(x)
+    register_diff_rule(
+        "softplus", lambda s, d: mul([d(s[0]), call("sigmoid", s[0])]))
+    try:
+        t = diff_space(call("softplus", W("T")), 2, tb)
+        assert t == mul([W("T", sd=(2,)), call("sigmoid", W("T"))])
+        # variation flows through the same rule
+        v = diff_variation(call("softplus", W("T")), tb)
+        dv = construct_term("var_delta", [W("T")])
+        assert v == mul([dv, call("sigmoid", W("T"))])
+    finally:
+        DIFF_RULES.pop("softplus", None)
+
+
+def test_diff_unknown_op_message(env):
+    reg, tb = env
+    from metafem.symbolics.ir import call
+    with pytest.raises(ValueError, match="register_diff_rule"):
+        diff_space(call("mystery", W("T")), 1, tb)

@@ -52,14 +52,18 @@ def main(n=1_360_000, nnz=50_000_000, fill=9.1, b=8):
     bcols = jnp.clip(brows + jax.random.randint(keys[5], (nb,), -2000,
                                                 2000), 0,
                      nbr - 1).astype(jnp.int32)
-    B = jax.random.normal(keys[5], (nb, b, b), jnp.float32)
+    # COMPONENT-MAJOR block storage [b, b, nb] — the production layout
+    # (block_offset.py): the block-major [nb, b, b] view gets T(8,128)
+    # tiling on the trailing (8, 8) dims = 16x HBM padding (measured
+    # compile OOM at this scale, 29 GB for 7.1M blocks)
+    B = jax.random.normal(keys[5], (b, b, nb), jnp.float32)
 
     def blk_mv(x, c):
         B_, brows_, bcols_ = c
         xp = jnp.pad(x, (0, nbr * b - n)).reshape(nbr, b)
-        xg = xp[bcols_]
-        contrib = jnp.einsum("kij,kj->ki", B_, xg)
-        y = jax.ops.segment_sum(contrib, brows_,
+        xg = xp[bcols_]                              # [nb, b] row gather
+        contribT = jnp.einsum("ijk,jk->ik", B_, xg.T)    # [b, nb]
+        y = jax.ops.segment_sum(contribT.T, brows_,
                                 num_segments=nbr).reshape(-1)[:n]
         return y / jnp.linalg.norm(y)
 

@@ -70,6 +70,11 @@ def main(refine=2, tol=1e-6):
         tick("freeze_linear_tangent")
         dom.freeze_refined_residual()
         tick("freeze_refined_residual")
+        # partial save first: ~24 min of host freezes must survive an
+        # auxmg-setup crash (device OOM / worker wedge)
+        dom.save_freezes(fz)
+        tick("save_freezes (pre-auxmg)")
+    if getattr(dom, "_auxmg", None) is None:
         dom.setup_auxmg(verbose=True)
         tick("setup_auxmg")
         dom.save_freezes(fz)

@@ -59,7 +59,16 @@ class OffsetLayout:
     floor (~1.5e8 scalar gathers/s regardless of locality).  Requires a
     locality cp numbering (fem_mesh._morton_renumber) to keep the block
     fill factor low (~9x at b=8 on the pikachu tet mesh vs 57x in file
-    order)."""
+    order).
+
+    Tail storage order is COMPONENT-MAJOR: entry (i, j) of block k
+    lives at ``n_dense + (i*b + j)*n_blocks + k``, so the device view
+    ``vals[n_dense:].reshape(b, b, nb)`` keeps the huge block axis in
+    the LANE (minor) dimension.  The block-major view ``[nb, b, b]``
+    gets XLA's T(8,128) tiling on the trailing (8, 8) dims — 16x HBM
+    padding, an 18.7 GB allocation at pikachu-refine-2 scale (measured
+    compile OOM); the component-major view is pad-free and its mv
+    measured 84 ms vs 812 ms scalar at the same 4.58M-block size."""
     n: int                       # matrix dimension
     segments: Tuple[Segment, ...]
     n_storage: int               # dense part + tail
@@ -214,10 +223,13 @@ def build_offset_layout(wp_metas, nnz: int,
             if nnz + n_dense + b_rows.size * b * b >= 2 ** 31 - 1:
                 storage_of_slot = storage_of_slot.astype(np.int64)
                 sdtype = np.int64
+            # component-major (see class docstring): slot (i, j) of
+            # block inv -> n_dense + (i*b + j)*n_blocks + inv
             storage_of_slot[coo_slots] = (
-                n_dense + inv.astype(sdtype, copy=False) * (b * b)
-                + (coo_rows.astype(sdtype, copy=False) % b) * b
-                + coo_cols % b)
+                n_dense
+                + ((coo_rows.astype(sdtype, copy=False) % b) * b
+                   + coo_cols % b) * b_rows.size
+                + inv.astype(sdtype, copy=False))
             n_tail = b_rows.size * b * b
             coo_rows = b_rows.astype(np.int32, copy=False)
             coo_cols = b_cols.astype(np.int32, copy=False)
@@ -292,14 +304,16 @@ class OffsetMatrix:
     def _blk_tail_mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """BSR tail: y += sum_k B[k] @ x_block[bcol[k]] scattered to
         block rows.  One gather index moves blk_b contiguous x values;
-        the products are dense [nb, b, b] x [nb, b] contractions."""
+        the contraction runs over the component-major [b, b, nb] view
+        (nb in lanes, pad-free) and the cross-block reduction is ONE
+        segment_sum over the [nb, b] contribs."""
         lo = self.layout
         b, nbr = lo.blk_b, lo.n_block_rows
-        B = self.vals[lo.n_dense:].reshape(-1, b, b)
+        B3 = self.vals[lo.n_dense:].reshape(b, b, lo.n_coo)
         xp = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b)
         xg = xp[self.coo_cols]                       # [nb, b] row gather
-        contrib = jnp.einsum("kij,kj->ki", B, xg)
-        yb = jax.ops.segment_sum(contrib, self.coo_rows,
+        contribT = jnp.einsum("ijk,jk->ik", B3, xg.T)    # [b, nb]
+        yb = jax.ops.segment_sum(contribT.T, self.coo_rows,
                                  num_segments=nbr)
         return yb.reshape(-1)[:lo.n]
 
@@ -376,11 +390,11 @@ class OffsetMatrix:
             y = _shift_store(y, col0, shifted)
         if lo.blk_b:
             b, nbr = lo.blk_b, lo.n_block_rows
-            B = self.vals[lo.n_dense:].reshape(-1, b, b)
+            B3 = self.vals[lo.n_dense:].reshape(b, b, lo.n_coo)
             xp = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b)
             xg = xp[self.coo_rows]
-            contrib = jnp.einsum("kij,ki->kj", B, xg)
-            yb = jax.ops.segment_sum(contrib, self.coo_cols,
+            contribT = jnp.einsum("ijk,ik->jk", B3, xg.T)  # [b, nb]
+            yb = jax.ops.segment_sum(contribT.T, self.coo_cols,
                                      num_segments=nbr)
             y = y + yb.reshape(-1)[:lo.n]
         elif lo.n_coo:
@@ -422,9 +436,10 @@ class OffsetMatrix:
                 vals = vals.at[b:b + n_cp].multiply(sc)
         if lo.blk_b:
             b, nbr = lo.blk_b, lo.n_block_rows
-            sp = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b)
-            sc = sp[self.coo_cols][:, None, :]       # entry (i,j) *= s[col j]
-            tail = vals[lo.n_dense:].reshape(-1, b, b) * sc
+            spT = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b).T
+            scT = jnp.take(spT, self.coo_cols, axis=1)       # [b, nb]
+            tail = (vals[lo.n_dense:].reshape(b, b, lo.n_coo)
+                    * scT[None, :, :])               # entry (i,j) *= s[col j]
             vals = vals.at[lo.n_dense:].set(tail.reshape(-1))
         elif lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_cols])
@@ -452,9 +467,10 @@ class OffsetMatrix:
                 vals = vals.at[b:b + n_cp].multiply(s[row0:row0 + n_cp])
         if lo.blk_b:
             b, nbr = lo.blk_b, lo.n_block_rows
-            sp = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b)
-            sc = sp[self.coo_rows][:, :, None]       # entry (i,j) *= s[row i]
-            tail = vals[lo.n_dense:].reshape(-1, b, b) * sc
+            spT = jnp.pad(s, (0, nbr * b - lo.n)).reshape(nbr, b).T
+            scT = jnp.take(spT, self.coo_rows, axis=1)       # [b, nb]
+            tail = (vals[lo.n_dense:].reshape(b, b, lo.n_coo)
+                    * scT[:, None, :])               # entry (i,j) *= s[row i]
             vals = vals.at[lo.n_dense:].set(tail.reshape(-1))
         elif lo.n_coo:
             vals = vals.at[lo.n_dense:].multiply(s[self.coo_rows])
@@ -476,12 +492,12 @@ class OffsetMatrix:
             b = lo.blk_b
             br = np.asarray(self.coo_rows, np.int64)
             bc = np.asarray(self.coo_cols, np.int64)
-            tv = v[lo.n_dense:].reshape(-1, b, b)
+            tv = v[lo.n_dense:].reshape(b, b, -1)    # component-major
             r = np.broadcast_to(
-                br[:, None, None] * b + np.arange(b)[None, :, None],
-                tv.shape)                            # [nb, b, b]
+                br[None, None, :] * b + np.arange(b)[:, None, None],
+                tv.shape)                            # [b, b, nb]
             c = np.broadcast_to(
-                bc[:, None, None] * b + np.arange(b)[None, None, :],
+                bc[None, None, :] * b + np.arange(b)[None, :, None],
                 tv.shape)
             ok = (r < lo.n) & (c < lo.n)             # padded edge blocks
             rows.append(r[ok])

@@ -257,20 +257,33 @@ def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
         cols = coo_cols if coo_cols is not None else jnp.asarray(
             lo_.coo_cols)
         b, nbr = lo_.blk_b, lo_.n_block_rows
-        Bh = vals.hi[lo_.n_dense:].reshape(-1, b, b)
-        Bl = vals.lo[lo_.n_dense:].reshape(-1, b, b)
+        nb = lo_.n_coo
+        # component-major [b, b, nb] views (block_offset.py docstring):
+        # the block-major [nb, b, b] view gets 16x T(8,128) HBM padding.
+        # Every large intermediate here keeps nb in the LANE dim ([b, nb]
+        # or [nb] 1D) — the [nb, b]-shaped alternatives pad 16x (f32) /
+        # 4.7 GB (the f64 segment input), which OOMed the first pikachu
+        # integration at runtime.
+        Bh = vals.hi[lo_.n_dense:].reshape(b, b, nb)
+        Bl = vals.lo[lo_.n_dense:].reshape(b, b, nb)
         pad = nbr * b - lo_.n
-        xg_h = jnp.pad(x.hi, (0, pad)).reshape(nbr, b)[cols]   # [nb, b]
-        xg_l = jnp.pad(x.lo, (0, pad)).reshape(nbr, b)[cols]
-        acc = DF(jnp.zeros_like(xg_h), jnp.zeros_like(xg_h))
+        xT_h = jnp.pad(x.hi, (0, pad)).reshape(nbr, b).T     # [b, nbr]
+        xT_l = jnp.pad(x.lo, (0, pad)).reshape(nbr, b).T
+        xgT_h = jnp.take(xT_h, cols, axis=1)                 # [b, nb]
+        xgT_l = jnp.take(xT_l, cols, axis=1)
+        z = jnp.zeros((b, nb), x.hi.dtype)
+        acc = DF(z, z)
         for j in range(b):
-            p, e = two_prod(Bh[:, :, j], xg_h[:, j, None])
-            e = e + (Bh[:, :, j] * xg_l[:, j, None]
-                     + Bl[:, :, j] * xg_h[:, j, None])
+            p, e = two_prod(Bh[:, j, :], xgT_h[j][None, :])
+            e = e + (Bh[:, j, :] * xgT_l[j][None, :]
+                     + Bl[:, j, :] * xgT_h[j][None, :])
             acc = df_add(acc, DF(p, e))
-        t64 = jax.ops.segment_sum(
-            acc.hi.astype(jnp.float64) + acc.lo.astype(jnp.float64),
-            rows, num_segments=nbr).reshape(-1)[:lo_.n]
+        t64 = jnp.stack(
+            [jax.ops.segment_sum(
+                acc.hi[i].astype(jnp.float64)
+                + acc.lo[i].astype(jnp.float64),
+                rows, num_segments=nbr) for i in range(b)],
+            axis=1).reshape(-1)[:lo_.n]
         t_hi = t64.astype(x.hi.dtype)
         t_lo = (t64 - t_hi.astype(jnp.float64)).astype(x.hi.dtype)
         y = df_add(y, DF(t_hi, t_lo))

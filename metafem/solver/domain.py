@@ -941,12 +941,22 @@ class FEM_Domain:
                 if getattr(self, name, None) is not None}
         # layout fingerprint: frozen arrays are meaningless under a
         # different storage layout (e.g. after the Morton renumbering or
-        # a BSR-tail change) — reject instead of silently corrupting
-        lo = self.pattern.offset_layout
-        blob["_layout_fp"] = (self.pattern.basicfield_size, lo.n_storage,
-                              lo.n_dense, lo.blk_b)
+        # a BSR-tail change) — reject instead of silently corrupting.
+        # The trailing version marks the BSR tail's component-major
+        # storage order (block-major caches predate it); lattice layouts
+        # (blk_b=0) keep the unversioned 4-tuple so their caches stay
+        # valid across the change.
+        blob["_layout_fp"] = self._layout_fp()
         with open(path, "wb") as f:
             pickle.dump(blob, f, protocol=4)
+
+    def _layout_fp(self) -> tuple:
+        lo = self.pattern.offset_layout
+        fp = (self.pattern.basicfield_size, lo.n_storage, lo.n_dense,
+              lo.blk_b)
+        if lo.blk_b:
+            fp += ("tail-cm2",)
+        return fp
 
     def load_freezes(self, path: str) -> None:
         """Counterpart of save_freezes: restore the frozen state onto
@@ -954,9 +964,7 @@ class FEM_Domain:
         import pickle
         with open(path, "rb") as f:
             blob = pickle.load(f)
-        lo = self.pattern.offset_layout
-        fp = (self.pattern.basicfield_size, lo.n_storage, lo.n_dense,
-              lo.blk_b)
+        fp = self._layout_fp()
         saved_fp = blob.pop("_layout_fp", None)
         if saved_fp is not None and tuple(saved_fp) != fp:
             raise ValueError(

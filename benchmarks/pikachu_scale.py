@@ -151,12 +151,17 @@ def main(refine=2, tol=1e-6):
         print(f"[pikachu] COMSOL line {label}: max |dT| = "
               f"{errs[label]:.3f} K over {int(ok.sum())} pts", flush=True)
 
+    lo = dom.pattern.offset_layout
     record = {"metric": "pikachu_unstructured_step_tol1e-6",
               "n_dof": n, "refine": refine,
               "step_ms": float(np.median(times)) * 1e3,
               "residual": r, "iters": it,
               "inner_solver": sv.__name__,
-              "comsol_max_dT": errs}
+              "comsol_max_dT": errs,
+              "tail": {"blk_b": lo.blk_b, "n_coo": int(lo.n_coo),
+                       "n_dense": int(lo.n_dense),
+                       "n_storage": int(lo.n_storage)},
+              "measured": time.strftime("%Y-%m-%d")}
     print(json.dumps(record))
     out = os.path.join(os.path.dirname(__file__), os.pardir,
                        "BENCH_pikachu.json")

@@ -110,7 +110,18 @@ from _timing import chain_time  # noqa: E402  (shared timing helper)
 
 
 def main(which="2d", size=0):
+    import os
+
     import jax
+
+    # persistent compilation cache (same as bench.py): without it every
+    # freeze/setup program cold-compiles through the remote transport —
+    # measured as a silent multi-minute stall with ~0 host CPU
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir,
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     import jax.numpy as jnp
     from metafem.linsolve import krylov, multigrid, twofloat as tf
     from metafem.linsolve.block_offset import OffsetMatrix

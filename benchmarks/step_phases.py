@@ -140,29 +140,51 @@ def main(which="2d", size=0):
         dom = build_3d(size or 56)
     n = dom.pattern.basicfield_size
     layout = dom.pattern.offset_layout
+    L = dom.pattern.max_time_level
     print(f"n_dof = {n}  n_storage = {layout.n_storage}", flush=True)
     tick("setup")
 
     dom.converge_tol = 1e-6
-    dom.freeze_linear_tangent()
-    dom.setup_mg(tune=False)
-    dom.freeze_refined_residual()
-    tick("freezes")
+    # reuse bench.py's freeze cache when probing the bench config (same
+    # domain, same converged state) — skips ~10 min of freezes + tune
+    import os
+    fz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      os.pardir, ".freeze_cache", "bench2d.pkl")
+    loaded = False
+    if which == "2d" and not size and os.path.exists(fz):
+        try:
+            import pickle
+            dom.load_freezes(fz)
+            with open(fz + ".x", "rb") as f:
+                dom.x = jnp.asarray(pickle.load(f))
+            x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
+            loaded = True
+            tick("load_freezes (bench cache)")
+        except Exception as e:
+            print(f"[phases] freeze cache unusable ({e}); recomputing",
+                  flush=True)
+    if not loaded:
+        dom.freeze_linear_tangent()
+        dom.setup_mg(tune=False)
+        dom.freeze_refined_residual()
+        tick("freezes")
 
-    # converge once, then tune at the converged tangent (bench.py flow)
-    step_c = dom.make_refined_step(sv_func=krylov.bicgstab, maxiter=60,
-                                   max_refine=10, max_pass=1)
-    state = dom._runtime_state()
-    x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
-    x_c, _, res_c, _ = step_c(state, x_c, jnp.float64(0.0),
-                              jnp.float64(1.0))
-    if not isinstance(x_c, tf.DF):     # f64 residual mode (CPU)
-        x_c = tf.df_from_f64(x_c)
-    jax.block_until_ready(x_c.hi)
-    tick(f"converge once (res={float(res_c):.2e})")
-    dom.x = np.asarray(tf.df_to_f64(x_c))
-    dom.setup_mg()
-    tick("tune mg")
+        # converge once, then tune at the converged tangent (bench.py
+        # flow)
+        step_c = dom.make_refined_step(sv_func=krylov.bicgstab,
+                                       maxiter=60, max_refine=10,
+                                       max_pass=1)
+        state = dom._runtime_state()
+        x_c = tf.df_from_f64(np.asarray(dom.x, np.float64))
+        x_c, _, res_c, _ = step_c(state, x_c, jnp.float64(0.0),
+                                  jnp.float64(1.0))
+        if not isinstance(x_c, tf.DF):     # f64 residual mode (CPU)
+            x_c = tf.df_from_f64(x_c)
+        jax.block_until_ready(x_c.hi)
+        tick(f"converge once (res={float(res_c):.2e})")
+        dom.x = np.asarray(tf.df_to_f64(x_c))
+        dom.setup_mg()
+        tick("tune mg")
     cheb = getattr(dom, "_mg_cheb", None)
     assert cheb is not None, "tuner rejected — phase model assumes Chebyshev"
     interval, rate = cheb
@@ -191,13 +213,27 @@ def main(which="2d", size=0):
     tick(f"full step: {step_ms:.0f} ms, {refines} refines")
 
     # ---- phase primitives ---------------------------------------------
-    # tangent at the converged state (what the warm step solves around)
+    # tangent at the converged state, built the way the production step
+    # builds it: frozen per-td linear components + the boundary-only
+    # nonaffine gradient blocks.  (NOT dom._k_linear/_res_k — the volume
+    # maps those need are never shipped on the refined path, and baking
+    # them as HLO constants overflows the remote-compile transport.)
     ga = dom.time_discretization
-    ga.update_time(dom.dt or 1.0, dom.pattern.max_time_level)
-    st = dict(state)
-    st["K_linear"] = dom._k_linear(st)
-    st["x_star"] = jnp.asarray(dom.x, dom.dtype)
-    _, K_total = dom._res_k(st)
+    gamma, alpha = ga.gamma_params, ga.alpha_params
+    beta = 1.0 / np.array([np.prod(gamma[:i]) for i in range(L + 1)])
+    K_params = jnp.asarray(np.asarray(alpha[:L + 1]) * beta, jnp.float32)
+    K_td = state["K_linear_td"]
+    K_lin = K_params[0] * K_td[0]
+    for td in range(1, L + 1):
+        K_lin = K_lin + K_params[td] * K_td[td]
+    if state.get("ghost_diag") is not None:
+        K_lin = K_lin + state["ghost_diag"]
+    dom._ensure_device_maps("nl_grad")
+    state = dom._runtime_state()
+    xs_conv = jnp.broadcast_to(jnp.asarray(dom.x, dom.dtype), (L + 1, n))
+    _, K_nl = dom._run_phase({**state, "x_star": xs_conv,
+                              "K_params": K_params}, "nl_grad")
+    K_total = K_lin + K_nl
     A = OffsetMatrix.from_values(K_total.astype(dom.dtype), layout)
     hier = multigrid.hierarchy_for_domain(dom)
     mg_state = state["mg_frozen"]
@@ -232,7 +268,6 @@ def main(which="2d", size=0):
 
     # df32 exact residual: r = b + sum_td A_td x_td (two-float SpMVs)
     ref = state["refined"]
-    L = dom.pattern.max_time_level
     coo_dev = (state.get("coo_rows"), state.get("coo_cols"))
 
     def df_residual(xhi, c):
@@ -254,13 +289,19 @@ def main(which="2d", size=0):
     run_phase = dom._run_phase
 
     def nl_grad(xs, st_):
-        st2 = {**st_, "x_star": xs,
+        # x_star carries the time-level axis [L+1, n] (what the
+        # production step's residual_and_knl passes as xs.hi)
+        st2 = {**st_, "x_star": jnp.broadcast_to(xs, (L + 1, n)),
                "K_params": jnp.ones(L + 1, jnp.float32)}
         _, K_nl = run_phase(st2, "nl_grad")
         # data dependence via a cheap reduction folded into the carry
         return xs * (1.0 + 0.0 * jnp.sum(K_nl))
 
-    phases["nl_grad"] = chain_time(nl_grad, v0, n=10, consts=state)
+    try:
+        phases["nl_grad"] = chain_time(nl_grad, v0, n=10, consts=state)
+    except Exception as e:          # keep the table on a probe failure
+        print(f"[phases] nl_grad probe failed: {e}", flush=True)
+        phases["nl_grad"] = 0.0
     tick("nl_grad chain")
 
     # per-refine tangent combine: K = sum_td K_params[td] * K_td + ghost

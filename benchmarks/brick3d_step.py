@@ -128,9 +128,17 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2, nu1=2, nu2=2):
               "step_refines": [it for _, _, it in results],
               "mg_shapes": [list(s) for s in
                             multigrid.hierarchy_for_domain(dom).shapes]}
+    record["measured"] = time.strftime("%Y-%m-%d")
     print(json.dumps(record))
     out = os.path.join(os.path.dirname(__file__), os.pardir,
                        "BENCH_brick3d.json")
+    try:   # keep the recorded config sweep from earlier runs
+        with open(out) as f:
+            prev = json.load(f)
+        if "sweep" in prev:
+            record["sweep"] = prev["sweep"]
+    except (OSError, ValueError):
+        pass
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
 

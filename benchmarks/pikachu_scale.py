@@ -79,6 +79,10 @@ def main(refine=2, tol=1e-6):
         tick("setup_auxmg")
         dom.save_freezes(fz)
         tick("save_freezes")
+    # volume physics is fully affine (frozen into A_td): the 2.2 GB
+    # volume itg_vals table is dead HBM for the refined step — freeing
+    # it is the difference between fitting and OOM at refine-2 scale
+    dom.free_volume_tables()
 
     # Inner solver: BiCGStab, NOT Chebyshev.  Measured at refine=2: the
     # tuned aux-spectrum enclosure ([0.072, 1.071], rate 0.787) misses

@@ -939,6 +939,18 @@ class FEM_Domain:
         blob = {name: to_np(getattr(self, name))
                 for name in self._FREEZE_ATTRS
                 if getattr(self, name, None) is not None}
+        # boundary-only nonaffinity attaches the runtime state's volume
+        # element tables to _refined["wp"] by reference
+        # (freeze_refined_residual) — 2+ GB at 1M-DOF 3D that the
+        # pickle would DUPLICATE on reload (the state keeps its own
+        # copy).  Persist a sentinel instead; load_freezes re-attaches
+        # the live state tables.
+        if blob.get("_refined", {}).get("wp") is not None:
+            blob["_refined"] = dict(blob["_refined"])
+            blob["_refined"]["wp"] = [
+                {**w, "el": "__state_el__"} if w.get("el") is not None
+                else w
+                for w in blob["_refined"]["wp"]]
         # layout fingerprint: frozen arrays are meaningless under a
         # different storage layout (e.g. after the Morton renumbering or
         # a BSR-tail change) — reject instead of silently corrupting.
@@ -978,6 +990,39 @@ class FEM_Domain:
 
         for name, val in blob.items():
             setattr(self, name, to_dev(val))
+        ref = getattr(self, "_refined", None)
+        if ref is not None and ref.get("wp") is not None:
+            # re-attach the live state's volume tables where save_freezes
+            # left its alias sentinel (see there)
+            ref["wp"] = [
+                {**w, "el": self.state["wp"][i]["el"]}
+                if isinstance(w.get("el"), str) else w
+                for i, w in enumerate(ref["wp"])]
+
+    def free_volume_tables(self) -> None:
+        """Release the device-resident volume element tables
+        (``state['wp'][i]['el']['itg_vals'/'weights']`` — GBs at 1M-DOF
+        3D) for production refined stepping of physics whose volume
+        forms are all affine: the refined step consumes the host-frozen
+        A_td/b operator plus BOUNDARY-only nonaffine phases, so the
+        volume tables are dead HBM (the assembly skips phases with no
+        matching forms before touching any table, assembly.py do_wf).
+        Call after ``freeze_refined_residual()``; ``update_mesh()``
+        rebuilds the tables if volume assembly is needed again."""
+        ref = getattr(self, "_refined", None)
+        if ref is None:
+            raise RuntimeError("call freeze_refined_residual() first")
+        if ref.get("wp_df") is not None:
+            raise RuntimeError(
+                "free_volume_tables: volume-nonaffine physics evaluates "
+                "volume residues per iteration — the tables are live")
+        for i, wps in enumerate(self.state["wp"]):
+            if wps.get("el") is not None:
+                wps["el"] = {**wps["el"], "itg_vals": None, "weights": None}
+            if ref.get("wp") is not None and ref["wp"][i].get("el") \
+                    is not None:
+                ref["wp"][i] = {**ref["wp"][i],
+                                "el": self.state["wp"][i]["el"]}
 
     def _runtime_state(self) -> dict:
         ga = self.time_discretization

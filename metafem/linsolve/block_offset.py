@@ -257,6 +257,18 @@ def build_offset_layout(wp_metas, nnz: int,
                         blk_b=use_blk)
 
 
+#: dense-segment SpMV form policy.  The per-segment unrolled shifted
+#: multiply-adds fuse into ONE pass over the segment values (measured
+#: 0.219 ms vs 1.531 ms for the grouped form at 1.28M DOF / 25 segments
+#: on v5e — the grouped form materializes the [n_off, C, n_cp] shifted-x
+#: stack, tripling HBM traffic).  The grouped form exists for large
+#: segment counts only: 1053 unrolled slice ops (3D vector elasticity)
+#: blow compile time and program size.  Override: METAFEM_MV_UNROLL_MAX.
+import os as _os
+
+UNROLL_MAX_SEGMENTS = int(_os.environ.get("METAFEM_MV_UNROLL_MAX", 300))
+
+
 def _shift_mul(seg_vals, x_col, d):
     """y_seg[r] = seg_vals[r] * x_col[r + d] with zero out-of-range."""
     n = x_col.shape[0]
@@ -325,7 +337,7 @@ class OffsetMatrix:
             return pallas_spmv.offset_mv(
                 self.vals, x, lo, self.coo_rows, self.coo_cols,
                 interpret=pallas_spmv.interpret_mode())
-        if lo.pallas_groups:
+        if lo.pallas_groups and len(lo.segments) > UNROLL_MAX_SEGMENTS:
             y = self._grouped_dense_mv(x)
         else:
             y = jnp.zeros(lo.n, x.dtype)

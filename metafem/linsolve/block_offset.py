@@ -263,7 +263,11 @@ def build_offset_layout(wp_metas, nnz: int,
 #: on v5e — the grouped form materializes the [n_off, C, n_cp] shifted-x
 #: stack, tripling HBM traffic).  The grouped form exists for large
 #: segment counts only: 1053 unrolled slice ops (3D vector elasticity)
-#: blow compile time and program size.  Override: METAFEM_MV_UNROLL_MAX.
+#: blow compile time and program size.  Strictly below the threshold
+#: unrolls; at or above it groups.  Override: METAFEM_MV_UNROLL_MAX —
+#: note the two forms sum segment contributions in different orders, so
+#: changing the policy changes results at the ULP level (each form is
+#: individually deterministic and bit-reproducible run to run).
 import os as _os
 
 UNROLL_MAX_SEGMENTS = int(_os.environ.get("METAFEM_MV_UNROLL_MAX", 300))
@@ -337,7 +341,7 @@ class OffsetMatrix:
             return pallas_spmv.offset_mv(
                 self.vals, x, lo, self.coo_rows, self.coo_cols,
                 interpret=pallas_spmv.interpret_mode())
-        if lo.pallas_groups and len(lo.segments) > UNROLL_MAX_SEGMENTS:
+        if lo.pallas_groups and len(lo.segments) >= UNROLL_MAX_SEGMENTS:
             y = self._grouped_dense_mv(x)
         else:
             y = jnp.zeros(lo.n, x.dtype)

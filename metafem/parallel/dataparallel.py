@@ -66,6 +66,11 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
     def _shard_part(part: dict, shard: bool) -> dict:
         if not shard:
             return {k: jax.device_put(v, rep) for k, v in part.items()}
+        if part.get("itg_vals") is None or part.get("weights") is None:
+            raise RuntimeError(
+                "shard_domain_state: the volume element tables were "
+                "released by free_volume_tables(); call update_mesh() "
+                "to rebuild them before sharding")
         out = {k: jax.device_put(_pad_leading(v, n_dev), el_sh)
                for k, v in part.items()}
         # pad elements must contribute exactly zero: zero their tables

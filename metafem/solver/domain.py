@@ -497,6 +497,7 @@ class FEM_Domain:
         (update_Mesh analog)."""
         self.drop_host_caches()
         self.state = {"wp": self._geometry_state(self.dtype)}
+        self._volume_tables_freed = False
         self.refresh_fields()
 
     def refresh_fields(self) -> None:
@@ -936,21 +937,25 @@ class FEM_Domain:
                 lambda v: np.asarray(v) if isinstance(v, jax.Array)
                 else v, t)
 
-        blob = {name: to_np(getattr(self, name))
-                for name in self._FREEZE_ATTRS
-                if getattr(self, name, None) is not None}
-        # boundary-only nonaffinity attaches the runtime state's volume
-        # element tables to _refined["wp"] by reference
-        # (freeze_refined_residual) — 2+ GB at 1M-DOF 3D that the
-        # pickle would DUPLICATE on reload (the state keeps its own
-        # copy).  Persist a sentinel instead; load_freezes re-attaches
-        # the live state tables.
-        if blob.get("_refined", {}).get("wp") is not None:
-            blob["_refined"] = dict(blob["_refined"])
-            blob["_refined"]["wp"] = [
-                {**w, "el": "__state_el__"} if w.get("el") is not None
-                else w
-                for w in blob["_refined"]["wp"]]
+        blob = {}
+        for name in self._FREEZE_ATTRS:
+            val = getattr(self, name, None)
+            if val is None:
+                continue
+            # boundary-only nonaffinity attaches the runtime state's
+            # volume element tables to _refined["wp"] by reference
+            # (freeze_refined_residual) — 2+ GB at 1M-DOF 3D that the
+            # pickle would DUPLICATE on reload (the state keeps its own
+            # copy).  Swap in a sentinel BEFORE to_np so the tables are
+            # never transferred device→host at all; load_freezes
+            # re-attaches the live state tables.
+            if name == "_refined" and val.get("wp") is not None:
+                val = dict(val)
+                val["wp"] = [
+                    {**w, "el": "__state_el__"}
+                    if w.get("el") is not None else w
+                    for w in val["wp"]]
+            blob[name] = to_np(val)
         # layout fingerprint: frozen arrays are meaningless under a
         # different storage layout (e.g. after the Morton renumbering or
         # a BSR-tail change) — reject instead of silently corrupting.
@@ -989,15 +994,28 @@ class FEM_Domain:
                 else v, t)
 
         for name, val in blob.items():
-            setattr(self, name, to_dev(val))
-        ref = getattr(self, "_refined", None)
-        if ref is not None and ref.get("wp") is not None:
-            # re-attach the live state's volume tables where save_freezes
-            # left its alias sentinel (see there)
-            ref["wp"] = [
-                {**w, "el": self.state["wp"][i]["el"]}
-                if isinstance(w.get("el"), str) else w
-                for i, w in enumerate(ref["wp"])]
+            attach = []
+            if name == "_refined" and isinstance(val, dict) \
+                    and val.get("wp") is not None:
+                # re-attach the live state's volume tables where
+                # save_freezes left its alias sentinel — and ALSO where a
+                # legacy pickle (pre-sentinel code, same layout
+                # fingerprint) carries a full copy of the tables: loading
+                # that copy would silently re-introduce the 2+ GB HBM
+                # duplication the sentinel exists to eliminate.  Dropping
+                # it is safe: the tables were aliases of the state's own
+                # at save time.  Strip BEFORE to_dev so a legacy copy is
+                # never shipped to the device.
+                val = dict(val)
+                attach = [i for i, w in enumerate(val["wp"])
+                          if w.get("el") is not None]
+                val["wp"] = [
+                    {**w, "el": None} if w.get("el") is not None else w
+                    for w in val["wp"]]
+            val = to_dev(val)
+            for i in attach:
+                val["wp"][i]["el"] = self.state["wp"][i]["el"]
+            setattr(self, name, val)
 
     def free_volume_tables(self) -> None:
         """Release the device-resident volume element tables
@@ -1023,6 +1041,18 @@ class FEM_Domain:
                     is not None:
                 ref["wp"][i] = {**ref["wp"][i],
                                 "el": self.state["wp"][i]["el"]}
+        self._volume_tables_freed = True
+
+    def _require_volume_tables(self, what: str) -> None:
+        """Fail fast (instead of a TypeError deep inside assembly) when a
+        path that assembles volume integrals runs after
+        free_volume_tables() released the element tables."""
+        if getattr(self, "_volume_tables_freed", False):
+            raise RuntimeError(
+                f"{what} assembles volume integrals, but the volume "
+                "element tables were released by free_volume_tables(); "
+                "call update_mesh() to rebuild them (or keep to the "
+                "refined step, which does not need them)")
 
     def _runtime_state(self) -> dict:
         ga = self.time_discretization
@@ -1055,6 +1085,7 @@ class FEM_Domain:
                         verbose: bool = False) -> float:
         ga = self.time_discretization
         L = self.pattern.max_time_level
+        self._require_volume_tables("update_one_step")
         self.t += self.dt
         ga.update_time(self.dt, L)
         self._ensure_device_maps("lin", "nl")
@@ -1087,6 +1118,7 @@ class FEM_Domain:
             state = dom._runtime_state()
             x, dx, res, iters = step(state, dom.x, t, dt)
         """
+        self._require_volume_tables("make_jitted_step")
         from .jit_step import make_jitted_step
         return make_jitted_step(self, **kwargs)
 

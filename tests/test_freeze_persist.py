@@ -98,3 +98,46 @@ def test_free_volume_tables_guards():
     dom_nl.freeze_refined_residual()
     with pytest.raises(RuntimeError, match="volume-nonaffine"):
         dom_nl.free_volume_tables()
+
+
+def test_freed_tables_fail_fast():
+    """Paths that assemble volume integrals must raise a descriptive
+    error after free_volume_tables — not a TypeError deep in assembly —
+    and update_mesh() must clear the condition."""
+    dom = _frozen_dom()
+    dom.free_volume_tables()
+    with pytest.raises(RuntimeError, match="free_volume_tables"):
+        dom.update_one_step()
+    with pytest.raises(RuntimeError, match="free_volume_tables"):
+        dom.make_jitted_step(sv_func=krylov.bicgstab)
+    dom.update_mesh()
+    dom.update_one_step(max_iter=1)      # rebuilt tables: runs again
+
+
+def test_legacy_pickle_el_copy_dropped(tmp_path):
+    """A pre-sentinel pickle carrying a FULL copy of the volume tables
+    (the round-3 format) must reload without duplicating them: the copy
+    is dropped and the live state tables re-attached by alias."""
+    dom = _frozen_dom()
+    x_ref, res_ref = _one_step(dom)
+    fz = str(tmp_path / "fz_legacy.pkl")
+    dom.save_freezes(fz)
+    with open(fz, "rb") as f:
+        blob = pickle.load(f)
+    # forge the legacy format: sentinel -> materialized host copy
+    blob["_refined"] = dict(blob["_refined"])
+    blob["_refined"]["wp"] = [
+        {**w, "el": {k: np.asarray(v) for k, v in
+                     dom.state["wp"][i]["el"].items()}}
+        if w.get("el") is not None else w
+        for i, w in enumerate(blob["_refined"]["wp"])]
+    with open(fz, "wb") as f:
+        pickle.dump(blob, f, protocol=4)
+
+    dom2 = _radiating_thermal(nel=(8, 4))
+    dom2.converge_tol = 1e-10
+    dom2.load_freezes(fz)
+    assert dom2._refined["wp"][0]["el"] is dom2.state["wp"][0]["el"]
+    x2, res2 = _one_step(dom2)
+    np.testing.assert_array_equal(x2, x_ref)
+    assert res2 == res_ref

@@ -7,6 +7,7 @@ test_pallas_spmv; 3D has 117 offsets and 400-column streams.)"""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import metafem as mf
 from metafem import Bilinear
@@ -14,7 +15,7 @@ from metafem.linsolve import krylov
 from metafem.solver.domain import FEM_Domain
 
 
-def _brick_thermal(nel=(8, 8, 8)):
+def _brick_thermal(nel=(8, 8, 8), itp_order=2, itp_type="Serendipity"):
     L = 1.0
     vert, conn = mf.make_brick((L, L, L), nel)
     geo = mf.construct_total_mesh(vert, conn)
@@ -34,7 +35,8 @@ def _brick_thermal(nel=(8, 8, 8)):
                                  1000.0 * Bilinear(T, 800.0 - T))
     dom.assign_boundary_weakform(wp, bg_t, 50.0 * Bilinear(T, 300.0 - T))
     dom.initialize_local_assembly(explicit_max_sd_order=1)
-    dom.mesh_classical(itp_order=2, itg_order=3, itp_type="Serendipity")
+    dom.mesh_classical(itp_order=itp_order, itg_order=3,
+                       itp_type=itp_type)
     dom.assemble_global_variables()
     dom.compile()
     mesh = dom.workpieces[wp].mesh
@@ -107,8 +109,7 @@ def test_3d_scan_interleave_matches():
     np.testing.assert_allclose(kt0, kt1, rtol=1e-12, atol=1e-9)
 
 
-def test_3d_mg_step_converges():
-    dom = _brick_thermal()
+def _mg_step_roundtrip(dom):
     dom.converge_tol = 1e-8
     step = dom.make_jitted_step(sv_func=krylov.bicgstab, maxiter=60,
                                 max_newton=5, max_pass=2, precond="mg")
@@ -122,3 +123,16 @@ def test_3d_mg_step_converges():
     scale = np.abs(np.asarray(dom.x)).max()
     np.testing.assert_allclose(np.asarray(x_new), np.asarray(dom.x),
                                atol=1e-6 * scale)
+
+
+def test_3d_mg_step_converges_smoke():
+    """Default-tier variant: order-1 Lagrange (27 offsets instead of the
+    order-2 Serendipity 117) keeps the jitted-MG-step program an order
+    of magnitude smaller to compile; the full-fidelity oracle runs in
+    the slow tier below."""
+    _mg_step_roundtrip(_brick_thermal(itp_order=1, itp_type="Lagrange"))
+
+
+@pytest.mark.slow
+def test_3d_mg_step_converges():
+    _mg_step_roundtrip(_brick_thermal())

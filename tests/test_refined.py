@@ -375,6 +375,42 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                 "examples"))
 
 
+def test_refined_step_df32_hyperelastic_smoke():
+    """Default-tier variant of the slow full-fidelity oracle below: the
+    same df32 Neo-Hookean machinery (d(W,F) chains, Levi-Civita det,
+    log(J) through the emulated-f64 fallback) at a relaxed bar — the
+    refined step must reach 1e-4 and land within 2.5% of the analytic
+    homogeneous uniaxial response."""
+    import hyperelastic_3d as he
+
+    mu, lam, sigma = 1e6, 1e6, 4e5
+    domf, wpf, _ = he.build(e_number=1, dtype=jnp.float32)
+    mesh = domf.workpieces[wpf].mesh
+    domf.global_vars.update(mu=mu, lam=lam, tau_b=1000 * max(mu, lam))
+    domf.set_field(wpf, "Pl", np.full(mesh.n_cp, sigma))
+    domf.refresh_fields()
+    domf.assemble_x()
+    domf.converge_tol = 1e-4
+    domf.freeze_linear_tangent()
+    domf.freeze_refined_residual()
+    assert domf._refined["wp_df"] is not None      # volume-nonaffine
+    step = domf.make_refined_step(sv_func=krylov.bicgstabl, s=2,
+                                  maxiter=150, max_refine=10, max_pass=1,
+                                  precond="jacobi", residual_mode="df32")
+    x1, _, res, _ = step(domf._runtime_state(),
+                         jnp.asarray(domf.x, jnp.float64),
+                         jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res) < 1e-4, float(res)
+    domf.x = np.asarray(x1)
+    domf.dessemble_x()
+    L = np.nanmax(mesh.cp_coords[:, 0])
+    right = mesh.cp_coords[:, 0] > L - 1e-9
+    d1L = domf.workpieces[wpf].mesh.fields["d1"][right].mean() / L
+    ana = he.analytic_uniaxial_nh(sigma, mu, lam)
+    assert abs(d1L - ana) / abs(ana) < 0.025
+
+
+@pytest.mark.slow
 def test_refined_step_df32_hyperelastic():
     """Neo-Hookean uniaxial tension (static_Neo_Hookean.jl): the df32
     refined step on fully volume-nonaffine physics — P{i,j} = d(W,F{i,j})
@@ -504,6 +540,54 @@ def test_refined_step_df32_cavity():
     np.testing.assert_allclose(p32, p64, atol=1e-3 * np.abs(p64).max())
 
 
+def test_refined_step_df32_j2_plasticity_smoke():
+    """Default-tier variant of the slow full-fidelity oracle below: one
+    relaxation step past first yield on a 1-element mesh, df32 refined
+    step with the radial-return user callback under DF lowering, tracked
+    against the f64 direct-solve root at the reference's own bar
+    (J2Plasticity.jl converge_tol 1e-3, here 1e-5)."""
+    import j2_plasticity as j2
+    from metafem.solver.time_domain import GeneralAlpha
+
+    def prep(dom, wp):
+        dom.time_discretization = GeneralAlpha.dissipative()
+        j2.reset_history(dom, wp, Y_initial=100, Eb=25e3, Ep=25e3)
+        dom.x = dom.x * 0.0
+        dom.t = 0.0
+        dom.dt = 1.0
+        dom.dessemble_x()
+        mesh = dom.workpieces[wp].mesh
+        dom.set_field(wp, "sl1", np.full(mesh.n_cp, 140.0))
+        dom.refresh_fields()
+        dom.assemble_x()
+
+    dom64, wp64, p = j2.build(e_number=1)
+    prep(dom64, wp64)
+    dom64.converge_tol = 1e-5
+    dom64.linear_solver = dom64.make_direct_solver()
+
+    domf, wpf, pf = j2.build(e_number=1, dtype=jnp.float32)
+    prep(domf, wpf)
+    domf.converge_tol = 1e-5
+    domf.freeze_linear_tangent()
+    domf.freeze_refined_residual()
+    assert domf._refined["wp_df"] is not None
+    step = domf.make_refined_step(sv_func=krylov.bicgstabl, s=2,
+                                  maxiter=200, max_refine=40, max_pass=1,
+                                  precond="jacobi", residual_mode="df32",
+                                  forcing=1e-2, stall_ratio=0.97)
+    res64 = dom64.update_one_step(max_iter=40)
+    assert res64 < 1e-5, res64
+    x32, _, res32, _ = step(domf._runtime_state(),
+                            jnp.asarray(domf.x, jnp.float64),
+                            jnp.float64(1.0), jnp.float64(1.0))
+    assert float(res32) < 1e-5, float(res32)
+    scale = np.abs(np.asarray(dom64.x)).max()
+    np.testing.assert_allclose(np.asarray(x32), np.asarray(dom64.x),
+                               atol=2e-4 * scale)
+
+
+@pytest.mark.slow
 def test_refined_step_df32_j2_plasticity():
     """J2 plasticity (J2Plasticity.jl): the df32 refined step with the
     radial-return INTEGRATION-POINT USER CALLBACK running under DF

@@ -144,7 +144,7 @@ def main(tol=1e-6):
 
     # ratio vs the recorded affine bench (same mesh/DOF count)
     affine_ms = None
-    for fname in ("BENCH_r02.json",):
+    for fname in ("BENCH_r04.json", "BENCH_r02.json"):
         p = os.path.join(os.path.dirname(__file__), os.pardir, fname)
         if os.path.exists(p):
             try:

@@ -212,6 +212,31 @@ def main(which="2d", size=0):
     refines = int(np.median([it for _, _, it in step_res]))
     tick(f"full step: {step_ms:.0f} ms, {refines} refines")
 
+    # ---- chained steps: device time WITHOUT the dispatch round trip ----
+    # Production transient stepping runs steps back-to-back with no host
+    # readback between them; chaining data-dependent steps (each step
+    # consumes the previous x, re-perturbed so every step re-converges
+    # from ~the same distance) in ONE dispatch measures the pure device
+    # step.  single-dispatch minus chained = transport/dispatch latency
+    # (a per-READBACK cost, not a per-step cost).  Hoisting cannot fake
+    # this: every step's input depends on the previous step's output.
+    def step_chain(carry, _c):
+        x1, dt1 = carry
+        # dt data-depends on the previous step -> K_params, the frozen-
+        # tangent combine, and the predictor are all per-iteration work
+        # (nothing state-only for XLA to hoist out of the chain)
+        x2, _, res, _ = step(state, x1, jnp.float64(0.0), dt1)
+        fac = (1.0 + 1e-4
+               * (1.0 + res / (1.0 + res))).astype(jnp.float32)
+        dt2 = 1.0 + 1e-9 * res
+        return (tf.DF(x2.hi * fac, x2.lo), dt2)
+
+    chain_sec = chain_time(step_chain, (x_c, jnp.float64(1.0)), n=6,
+                           consts=None)
+    chain_ms = chain_sec * 1e3
+    tick(f"chained step: {chain_ms:.0f} ms/step "
+         f"(dispatch+readback overhead {step_ms - chain_ms:.0f} ms)")
+
     # ---- phase primitives ---------------------------------------------
     # tangent at the converged state, built the way the production step
     # builds it: frozen per-td linear components + the boundary-only
@@ -246,8 +271,10 @@ def main(which="2d", size=0):
         return lambda x, c: (lambda y: y / jnp.linalg.norm(y))(f(x, c))
 
     phases = {}
+    # n=40: the 0.04-0.1 ms A.mv differential at n=20 sits below the
+    # chain noise floor (the round-4 table published a negative entry)
     phases["A.mv"] = chain_time(norm1(lambda x, A_: A_.mv(x)), v0,
-                                consts=A)
+                                n=40, consts=A)
     tick("A.mv chain")
     phases["vcycle"] = chain_time(
         norm1(lambda x, ms: multigrid.vcycle(hier, ms, x)), v0,
@@ -345,7 +372,11 @@ def main(which="2d", size=0):
              f"cheb_solve({n_cheb})": refines,
              "df_residual": refines + 1, "nl_grad": refines + 1,
              "k_combine": refines}
-    print(f"\n== warm step {step_ms:.1f} ms, {refines} refines, "
+    # reconcile against the CHAINED (device-only) step: the dispatch/
+    # readback round trip is a per-readback transport cost, not device
+    # work — it gets its own line instead of polluting "unaccounted"
+    print(f"\n== warm step {step_ms:.1f} ms single-dispatch / "
+          f"{chain_ms:.1f} ms chained, {refines} refines, "
           f"cheb trip {n_cheb}, rate {rate:.2f} ==")
     print(f"{'phase':>18} {'ms/call':>9} {'calls':>6} {'ms/step':>9} "
           f"{'%step':>6} {'roofline%':>9}")
@@ -362,15 +393,19 @@ def main(which="2d", size=0):
             rf = model[k] / sec / 1e9 / HBM_GBPS * 100
             roof = f"{rf:8.0f}%"
         print(f"{k:>18} {ms:9.3f} {c:6d} {tot:9.1f} "
-              f"{tot / step_ms * 100:5.1f}% {roof:>9}")
+              f"{tot / chain_ms * 100:5.1f}% {roof:>9}")
         out_phases[k] = {"ms_per_call": round(ms, 3), "calls": c,
                          "roofline_pct": (round(rf, 1) if rf else None)}
     print(f"{'sum of phases':>18} {'':9} {'':6} {total:9.1f} "
-          f"{total / step_ms * 100:5.1f}%")
-    print(f"{'unaccounted':>18} {'':9} {'':6} {step_ms - total:9.1f} "
-          f"{(step_ms - total) / step_ms * 100:5.1f}%")
+          f"{total / chain_ms * 100:5.1f}%")
+    print(f"{'unaccounted':>18} {'':9} {'':6} {chain_ms - total:9.1f} "
+          f"{(chain_ms - total) / chain_ms * 100:5.1f}%  (of chained)")
+    print(f"{'dispatch+readback':>18} {'':9} {'':6} "
+          f"{step_ms - chain_ms:9.1f}   (single-dispatch only)")
 
     print(json.dumps({"which": which, "n_dof": n, "step_ms": step_ms,
+                      "chained_step_ms": round(chain_ms, 1),
+                      "dispatch_overhead_ms": round(step_ms - chain_ms, 1),
                       "refines": refines, "n_cheb": n_cheb,
                       "cheb_rate": float(rate),
                       "phases": out_phases,

@@ -54,6 +54,17 @@ class AuxDesc:
     corner_offs: Tuple[int, ...]        # 2^d flat lattice offsets (>= 0)
     nu1: int = 2
     nu2: int = 2
+    #: "full": smoothing residuals on the true operator (every V-cycle
+    #: pays nu1+nu2+1 gather-bound tail SpMVs).  "sparse": smoothing and
+    #: the coarse-grid residual run on a SPARSIFIED operator — dense
+    #: offset segments + the BSR tail's block diagonal, with the dropped
+    #: tail couplings lumped onto the diagonal (row sums, and with them
+    #: the action on the smooth modes the aux correction targets, are
+    #: preserved exactly).  Only the outer A∘M product then touches the
+    #: tail: one gather-bound SpMV per preconditioned operator apply
+    #: instead of nu1+nu2+2.  The sparsified pieces are refreshed per
+    #: tangent by refresh_tangent().
+    smooth: str = "full"
 
 
 def estimate_spacing(coords: np.ndarray, el_cp: np.ndarray,
@@ -205,7 +216,7 @@ def galerkin_stencil(A_scipy, cell_flat: np.ndarray, w: np.ndarray,
 
 def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
           radius: int = 2, nu1: int = 2, nu2: int = 2, n_power: int = 12,
-          verbose: bool = False, **hier_opts):
+          smooth: str = "full", verbose: bool = False, **hier_opts):
     """Freeze the aux-space MG state from an assembled tangent's storage
     values ``K_total`` (see FEM_Domain.setup_auxmg).  Returns the
     (pytree, static) pair make_op consumes."""
@@ -266,11 +277,28 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
     lat_state = jax.device_put(jax.tree_util.tree_map(
         lambda x: x.astype(domain.dtype), lat_state))
 
-    # fine-level damped-Jacobi calibration on the true operator (in the
-    # domain dtype on the compute device; K_total may arrive as host f64)
+    # fine-level damped-Jacobi calibration (in the domain dtype on the
+    # compute device; K_total may arrive as host f64).  The calibration
+    # runs on the SMOOTHING operator — the sparsified As when
+    # smooth='sparse' — since omega damps that operator's spectrum.
     A_dev = OffsetMatrix.from_values(
         jnp.asarray(np.asarray(K_total), domain.dtype), layout)
-    invd = _safe_inv(A_dev.diag())
+    desc = AuxDesc(dim=mesh.dim, channels=C, n_cp=n_cp,
+                   n_lat=int(np.prod(aux_shape)), aux_shape=aux_shape,
+                   corner_offs=corner_offs, nu1=nu1, nu2=nu2,
+                   smooth=smooth)
+    tree = {"cell": jnp.asarray(cell_flat.astype(np.int32)),
+            "w": jnp.asarray(w, domain.dtype), "lat": lat_state}
+    if smooth == "sparse" and layout.blk_b:
+        # static BSR-tail block-diagonal extraction indices
+        bd_sel = np.flatnonzero(layout.coo_rows == layout.coo_cols)
+        tree["bd_sel"] = jnp.asarray(bd_sel.astype(np.int32))
+        tree["bd_rows"] = jnp.asarray(layout.coo_rows[bd_sel])
+    tree = jax.jit(refresh_tangent,
+                   static_argnums=2)(A_dev, tree, desc)
+    invd = tree["inv_diag"]
+    smoother_of = (AuxMGOperator(A_dev, {**tree, "omega": 1.0},
+                                 hier, desc)._smoother())
 
     # host-chunked power iteration (multigrid._auto_chunk): at 1M+ DOF
     # an n_power-long scan of full-size SpMVs in ONE dispatch risks the
@@ -279,9 +307,9 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
         pattern.basicfield_size, n_power), n_power))
 
     @jax.jit
-    def cal_steps(A, invd, v):
+    def cal_steps(S, invd, v):
         def body(v, _):
-            u = invd * A.mv(v)
+            u = invd * S.mv(v)
             lam = jnp.linalg.norm(u)
             return u / jnp.where(lam == 0, 1.0, lam), lam
 
@@ -292,16 +320,11 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
                           (pattern.basicfield_size,), invd.dtype)
     v = v / jnp.linalg.norm(v)
     for _ in range(-(-n_power // cal_chunk)):
-        v, lam = cal_steps(A_dev, invd, v)
+        v, lam = cal_steps(smoother_of, invd, v)
         jax.block_until_ready(lam)
     lam = lam * 1.1
     omega = (4.0 / 3.0) / jnp.where(lam == 0, 1.0, lam)
-    desc = AuxDesc(dim=mesh.dim, channels=C, n_cp=n_cp,
-                   n_lat=int(np.prod(aux_shape)), aux_shape=aux_shape,
-                   corner_offs=corner_offs, nu1=nu1, nu2=nu2)
-    tree = {"cell": jnp.asarray(cell_flat.astype(np.int32)),
-            "w": jnp.asarray(w, domain.dtype),
-            "inv_diag": invd, "omega": omega, "lat": lat_state}
+    tree["omega"] = omega
     # preconditioned-spectrum estimate + tuned Chebyshev enclosure
     op = AuxMGOperator(A_dev, tree, hier, desc)
     nb = pattern.basicfield_size
@@ -324,6 +347,117 @@ def _shift_flat(s: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
                             s[..., :n - k]], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# sparsified smoothing operator (desc.smooth == "sparse")
+# ---------------------------------------------------------------------------
+
+def _dense_only_layout(layout):
+    """A tailless view of an OffsetLayout: same dense segments, empty
+    COO/BSR tail — OffsetMatrix.mv over it touches only the dense
+    shifted-stream storage (no gathers).  Cached on the layout object
+    (layouts are id-hashed static jit aux data)."""
+    cached = getattr(layout, "_dense_only_view", None)
+    if cached is None:
+        cached = dataclasses.replace(
+            layout, n_storage=layout.n_dense,
+            coo_rows=np.zeros(0, np.int32),
+            coo_cols=np.zeros(0, np.int32), blk_b=0)
+        layout._dense_only_view = cached
+    return cached
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseSmoothOp:
+    """Sparsified stand-in for the fine operator inside the V-cycle:
+
+        As = dense offset segments + BSR-tail block diagonal
+             + diag(lumped dropped-tail row sums)
+
+    Every piece streams (dense segments) or contracts pad-free dense
+    lanes (block diagonal [b, b, nbr]) — ZERO gather/scatter index ops,
+    vs the 2*nb random-index floor of the full tail SpMV.  Row sums
+    match the true operator exactly (lumping), so the action on the
+    smooth modes the aux-lattice correction targets is preserved; only
+    the high-frequency inter-block couplings are approximated, which the
+    damped-Jacobi smoother tolerates (measured: see PERFORMANCE.md
+    round-5 pikachu table)."""
+    dense: OffsetMatrix               # tailless view, shares vals buffer
+    bd_vals: jnp.ndarray              # [b, b, nbr] block-diag (or None)
+    lump: jnp.ndarray                 # [n] dropped-tail row sums
+
+    def tree_flatten(self):
+        return (self.dense, self.bd_vals, self.lump), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = self.dense.mv(x) + self.lump * x
+        if self.bd_vals is not None:
+            lo = self.dense.layout
+            b = self.bd_vals.shape[0]
+            nbr = self.bd_vals.shape[2]
+            xpT = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b).T
+            yT = jnp.einsum("ijr,jr->ir", self.bd_vals, xpT)  # [b, nbr]
+            y = y + yT.T.reshape(-1)[:lo.n]
+        return y
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseInnerOp:
+    """Ã ∘ M for a fully tail-free inner solve: the Krylov iteration
+    runs on the SPARSIFIED tangent (SparseSmoothOp) so no inner
+    iteration ever touches the gather-bound tail; the outer refined
+    Newton measures TRUE residuals, so the sparsification error only
+    sets the per-refine contraction (inexact Newton with a modified
+    operator), never the answer."""
+    op: "AuxMGOperator"
+
+    def tree_flatten(self):
+        return (self.op,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    def mv(self, v: jnp.ndarray) -> jnp.ndarray:
+        return self.op._smoother().mv(self.op.apply_m(v))
+
+    def apply_m(self, y: jnp.ndarray) -> jnp.ndarray:
+        return self.op.apply_m(y)
+
+
+def refresh_tangent(A: OffsetMatrix, tree: dict, desc: AuxDesc) -> dict:
+    """Per-tangent refresh of the V-cycle's fine-level state: the Jacobi
+    inverse diagonal, and (smooth='sparse') the sparsified smoothing
+    pieces — block-diagonal extraction (one [b*b, nbr]-sized
+    gather/scatter) and the lumped row sums (one tail SpMV on ones).
+    Both are one-time per tangent; the Krylov loop's nu1+nu2+1 smoothing
+    SpMVs then run gather-free."""
+    tree = {**tree, "inv_diag": _safe_inv(A.diag())}
+    if desc.smooth != "sparse":
+        return tree
+    lo = A.layout
+    dense = OffsetMatrix(A.vals, jnp.zeros(0, jnp.int32),
+                         jnp.zeros(0, jnp.int32), _dense_only_layout(lo))
+    bd_vals = None
+    if lo.blk_b:
+        b, nbr, nb = lo.blk_b, lo.n_block_rows, lo.n_coo
+        bd_sel = tree["bd_sel"]           # static tail positions bi==bj
+        bd_rows = tree["bd_rows"]
+        B3 = A.vals[lo.n_dense:].reshape(b, b, nb)
+        bd_vals = jnp.zeros((b, b, nbr), A.vals.dtype)
+        bd_vals = bd_vals.at[:, :, bd_rows].set(B3[:, :, bd_sel])
+    ones = jnp.ones(lo.n, A.vals.dtype)
+    As0 = SparseSmoothOp(dense, bd_vals, jnp.zeros(lo.n, A.vals.dtype))
+    tree["smooth_lump"] = A.mv(ones) - As0.mv(ones)
+    tree["smooth_bd"] = bd_vals
+    return tree
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class AuxMGOperator:
@@ -341,39 +475,70 @@ class AuxMGOperator:
         return cls(children[0], children[1], aux[0], aux[1])
 
     # -- transfers ------------------------------------------------------
+    # The random-index floor is paid PER INDEX, so both transfers are
+    # restructured to ONE index stream of n_cp (instead of 2^d of them):
+    # Pᵀ scatters [n_cp, 2^d] ROWS (all corner contributions of a cp
+    # move under one segment id, the corner offsets then applied as
+    # static flat shifts); P gathers rows of a shift-stacked
+    # [n_lat, 2^d] table (xpad[c, j] = xf[c + off_j], built by 2^d
+    # static shifts at stream rate).  Measured 8x fewer index ops in 3D.
     def _pt(self, r: jnp.ndarray) -> jnp.ndarray:
-        """Pᵀ r: [C*n_cp] -> [C, *aux_shape].  Per corner: a weighted
-        cell segment-sum + a static flat shift — no scatters."""
+        """Pᵀ r: [C*n_cp] -> [C, *aux_shape]."""
         d, t = self.desc, self.tree
         rw = r.reshape(d.channels, d.n_cp)
         rc = jnp.zeros((d.channels, d.n_lat), r.dtype)
-        for j, off in enumerate(d.corner_offs):
-            s = jax.ops.segment_sum((t["w"][:, j] * rw).T, t["cell"],
-                                    num_segments=d.n_lat)   # [n_lat, C]
-            rc = rc + _shift_flat(s.T, off, d.n_lat)
+        for c in range(d.channels):
+            data = t["w"] * rw[c][:, None]            # [n_cp, 2^d]
+            s8 = jax.ops.segment_sum(data, t["cell"],
+                                     num_segments=d.n_lat)  # [n_lat, 2^d]
+            acc = jnp.zeros(d.n_lat, r.dtype)
+            for j, off in enumerate(d.corner_offs):
+                acc = acc + _shift_flat(s8[:, j], off, d.n_lat)
+            rc = rc.at[c].set(acc)
         return rc.reshape((d.channels,) + d.aux_shape)
 
     def _p(self, xc: jnp.ndarray) -> jnp.ndarray:
-        """P xc: [C, *aux_shape] -> [C*n_cp]; 2^d gathers."""
+        """P xc: [C, *aux_shape] -> [C*n_cp]."""
         d, t = self.desc, self.tree
         xf = xc.reshape(d.channels, d.n_lat)
-        out = jnp.zeros((d.channels, d.n_cp), xc.dtype)
-        for j, off in enumerate(d.corner_offs):
-            out = out + t["w"][:, j] * xf[:, t["cell"] + off]
-        return out.reshape(-1)
+        out = []
+        for c in range(d.channels):
+            xpad = jnp.stack(
+                [xf[c] if off == 0
+                 else jnp.concatenate([xf[c, off:],
+                                       jnp.zeros(off, xc.dtype)])
+                 for off in d.corner_offs], axis=1)    # [n_lat, 2^d]
+            xf8 = xpad[t["cell"]]                      # one row gather
+            out.append((t["w"] * xf8).sum(axis=1))
+        return jnp.concatenate(out)
 
     # -- the aux V-cycle -------------------------------------------------
+    def _smoother(self):
+        """The operator smoothing residuals run against: the true A
+        (smooth='full') or the gather-free sparsified As (see
+        SparseSmoothOp) — the outer A∘M product always uses true A."""
+        t = self.tree
+        if self.desc.smooth == "sparse" and t.get("smooth_lump") is not None:
+            lo = self.A.layout
+            dense = OffsetMatrix(self.A.vals, jnp.zeros(0, jnp.int32),
+                                 jnp.zeros(0, jnp.int32),
+                                 _dense_only_layout(lo))
+            return SparseSmoothOp(dense, t.get("smooth_bd"),
+                                  t["smooth_lump"])
+        return self.A
+
     def apply_m(self, b: jnp.ndarray) -> jnp.ndarray:
         d, t = self.desc, self.tree
+        S = self._smoother()
         invd, om = t["inv_diag"], t["omega"]
         x = om * invd * b
         for _ in range(d.nu1 - 1):
-            x = x + om * invd * (b - self.A.mv(x))
-        r = b - self.A.mv(x)
+            x = x + om * invd * (b - S.mv(x))
+        r = b - S.mv(x)
         xc = multigrid._vcycle_level(self.hier, t["lat"], 0, self._pt(r))
         x = x + self._p(xc)
         for _ in range(d.nu2):
-            x = x + om * invd * (b - self.A.mv(x))
+            x = x + om * invd * (b - S.mv(x))
         return x
 
     def mv(self, v: jnp.ndarray) -> jnp.ndarray:

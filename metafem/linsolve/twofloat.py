@@ -267,10 +267,14 @@ def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
         Bh = vals.hi[lo_.n_dense:].reshape(b, b, nb)
         Bl = vals.lo[lo_.n_dense:].reshape(b, b, nb)
         pad = nbr * b - lo_.n
-        xT_h = jnp.pad(x.hi, (0, pad)).reshape(nbr, b).T     # [b, nbr]
-        xT_l = jnp.pad(x.lo, (0, pad)).reshape(nbr, b).T
-        xgT_h = jnp.take(xT_h, cols, axis=1)                 # [b, nb]
-        xgT_l = jnp.take(xT_l, cols, axis=1)
+        # ONE row gather for both words: x blocks stored as [nbr, 2b]
+        # (hi | lo) rows, so each tail index moves the full pair — half
+        # the gather index ops of separate hi/lo takes
+        xp2 = jnp.concatenate(
+            [jnp.pad(x.hi, (0, pad)).reshape(nbr, b),
+             jnp.pad(x.lo, (0, pad)).reshape(nbr, b)], axis=1)
+        xg2T = xp2[cols].T                                   # [2b, nb]
+        xgT_h, xgT_l = xg2T[:b], xg2T[b:]
         z = jnp.zeros((b, nb), x.hi.dtype)
         acc = DF(z, z)
         for j in range(b):
@@ -278,12 +282,20 @@ def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
             e = e + (Bh[:, j, :] * xgT_l[j][None, :]
                      + Bl[:, j, :] * xgT_h[j][None, :])
             acc = df_add(acc, DF(p, e))
-        t64 = jnp.stack(
-            [jax.ops.segment_sum(
-                acc.hi[i].astype(jnp.float64)
-                + acc.lo[i].astype(jnp.float64),
-                rows, num_segments=nbr) for i in range(b)],
-            axis=1).reshape(-1)[:lo_.n]
+        # cross-block f64 reduction: ONE row segment_sum over [nb, b]
+        # f64 rows (nb index ops) instead of b per-component segment
+        # sums (b*nb).  Chunked so the T(8,128)-padded f64 [chunk, b]
+        # scatter operand stays a bounded transient (the unchunked
+        # [nb, b] f64 form is a 4.7 GB allocation at pikachu scale).
+        acc64T = acc.hi.astype(jnp.float64) + acc.lo.astype(jnp.float64)
+        n_chunk = max(1, -(-nb // 4_000_000))
+        csz = -(-nb // n_chunk)
+        t64b = jnp.zeros((nbr, b), jnp.float64)
+        for ck in range(n_chunk):
+            sl = slice(ck * csz, min((ck + 1) * csz, nb))
+            t64b = t64b + jax.ops.segment_sum(
+                acc64T[:, sl].T, rows[sl], num_segments=nbr)
+        t64 = t64b.reshape(-1)[:lo_.n]
         t_hi = t64.astype(x.hi.dtype)
         t_lo = (t64 - t_hi.astype(jnp.float64)).astype(x.hi.dtype)
         y = df_add(y, DF(t_hi, t_lo))

@@ -422,13 +422,12 @@ class FEM_Domain:
 
         if precond == "auxmg":
             from ..linsolve import auxmg
-            from ..linsolve.multigrid import _safe_inv
 
             def solve(A, b):
                 if getattr(self, "_auxmg", None) is None:
                     raise RuntimeError("call domain.setup_auxmg() first")
                 tree, (desc, hier) = self._auxmg
-                tree = {**tree, "inv_diag": _safe_inv(A.diag())}
+                tree = auxmg.refresh_tangent(A, tree, desc)
                 op = auxmg.AuxMGOperator(A, tree, hier, desc)
                 y = iterative_solve(op, b, None,
                                     converge_tol=self.converge_tol,

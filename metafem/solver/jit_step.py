@@ -244,6 +244,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                       max_pass: int = 1, precond: str = "mg",
                       forcing: float = 1e-2, stall_ratio: float = 0.9,
                       residual_mode: str = None, rowshard_mesh=None,
+                      inner_operator: str = "exact",
                       **sv_kwargs):
     """Newton / mixed-precision-iterative-refinement step with **exact
     residuals** and working-precision (f32) tangent solves.
@@ -345,6 +346,14 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
         aux_static = domain._auxmg[1]           # (desc, hier)
     elif precond != "jacobi":
         raise ValueError(f"unknown precond {precond!r}")
+    if inner_operator not in ("exact", "sparse"):
+        raise ValueError(f"unknown inner_operator {inner_operator!r}")
+    if inner_operator == "sparse":
+        if aux_static is None or aux_static[0].smooth != "sparse":
+            raise ValueError(
+                "inner_operator='sparse' needs precond='auxmg' with "
+                "setup_auxmg(smooth='sparse') — the sparsified tangent "
+                "IS the aux smoother operator")
 
     if sv_func is krylov.chebyshev:
         # Static Chebyshev trip count and spectrum enclosure from the
@@ -402,20 +411,28 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 op = multigrid.MGOperator(A, state["mg_frozen"], mg_hier)
             else:
                 from ..linsolve import auxmg as _auxmg
-                from ..linsolve.multigrid import _safe_inv
                 desc, hier = aux_static
-                tree = {**state["auxmg_tree"],
-                        "inv_diag": _safe_inv(A.diag())}
+                # per-tangent refresh: Jacobi diagonal + (smooth='sparse')
+                # the gather-free sparsified smoothing pieces
+                tree = _auxmg.refresh_tangent(A, state["auxmg_tree"],
+                                              desc)
                 op = _auxmg.AuxMGOperator(A, tree, hier, desc)
+            if inner_operator == "sparse":
+                # tail-free inner iteration: Krylov on Ã∘M (the
+                # sparsified tangent); the outer loop's TRUE residual
+                # absorbs the sparsification error as extra refines
+                op_in = _auxmg.SparseInnerOp(op)
+            else:
+                op_in = op
             if RowShardedMGOperator is not None:
                 # scale-out: the fine-level V-cycle runs sharded over
                 # the mesh (halo exchanges), Krylov dots psum
-                op = RowShardedMGOperator(op, rowshard_mesh)
+                op_in = RowShardedMGOperator(op_in, rowshard_mesh)
             r0 = rr
             for _ in range(max_pass):
-                y_i, _, _ = sv_func(op, rr, tol=tol_i, maxiter=maxiter,
+                y_i, _, _ = sv_func(op_in, rr, tol=tol_i, maxiter=maxiter,
                                     **sv_kwargs)
-                delta = delta + op.apply_m(y_i)
+                delta = delta + op_in.apply_m(y_i)
                 rr = r0 - A.mv(delta)
         else:
             As, unscale = pr_jacobi(A, None)

@@ -175,6 +175,46 @@ class TestRefinedStepUnstructured:
         machinery, ~4x cheaper build)."""
         self._check_df32_coo_tail(itp_order=1, itg_order=2)
 
+    def test_sparse_smoother_matches_row_sums_and_converges(self):
+        """smooth='sparse' (SparseSmoothOp): the sparsified smoothing
+        operator preserves the true operator's row sums exactly (the
+        lumping identity that keeps the smooth-mode action right), and
+        the df32 refined step converges to the same tolerance through
+        it."""
+        from metafem.linsolve import auxmg, twofloat as tf
+
+        dom, geo, mesh = pikachu_3d.build(itp_order=1, itg_order=2,
+                                          dtype=jnp.float32)
+        dom.converge_tol = 1e-6
+        dom.freeze_linear_tangent()
+        dom.freeze_refined_residual()
+        dom.setup_auxmg(smooth="sparse")
+        tree, (desc, hier) = dom._auxmg
+        assert desc.smooth == "sparse"
+
+        A, _ = _tangent(dom)
+        tree2 = auxmg.refresh_tangent(A, tree, desc)
+        op = auxmg.AuxMGOperator(A, tree2, hier, desc)
+        S = op._smoother()
+        assert isinstance(S, auxmg.SparseSmoothOp)
+        ones = jnp.ones(A.n, A.vals.dtype)
+        np.testing.assert_allclose(np.asarray(S.mv(ones)),
+                                   np.asarray(A.mv(ones)),
+                                   rtol=0, atol=1e-3)
+        # the sparsified action differs from the true one off the
+        # constants (it IS an approximation)
+        v = jnp.asarray(np.random.default_rng(0).standard_normal(A.n),
+                        A.vals.dtype)
+        assert float(jnp.linalg.norm(S.mv(v) - A.mv(v))) > 0
+
+        step = dom.make_refined_step(sv_func=krylov.bicgstab,
+                                     precond="auxmg", maxiter=60,
+                                     max_refine=8, max_pass=1)
+        x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
+        _, _, res, _ = step(dom._runtime_state(), x0, jnp.float64(0.0),
+                            jnp.float64(1.0))
+        assert float(res) < 1e-6, float(res)
+
     @pytest.mark.slow
     def test_df32_refined_step_with_coo_tail_order2(self):
         """Slow tier: the production order-2 serendipity configuration

@@ -226,7 +226,7 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
         raise ValueError("auxmg: single-workpiece domains only")
     wp = domain.workpieces[0]
     mesh = wp.mesh
-    if mesh.is_occupied is not None and not mesh.is_occupied.all():
+    if mesh.lattice_shape is not None:
         raise ValueError("auxmg targets unstructured meshes; this mesh "
                          "has lattice numbering — use precond='mg'")
     pattern = domain.pattern
@@ -234,6 +234,14 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
     C = pattern.wp_infos[0].n_vars
     n_cp = mesh.n_cp
     coords = mesh.cp_coords
+    occ = mesh.is_occupied
+    if occ is not None and not occ.all():
+        # scale-out ghost cps (NaN coords, unit-diagonal rows): park
+        # them in a valid cell with ZERO interpolation weight — the
+        # transfers then ignore them and the fine smoother sees only
+        # their unit diagonal
+        coords = np.where(occ[:, None], coords,
+                          np.nanmin(coords, axis=0))
 
     if h is None:
         # two geometric bounds (measured on pikachu refine=2, 1.36M DOF,
@@ -247,6 +255,8 @@ def setup(domain, K_total, h: float = None, h_factor: float = 2.0,
         spacing, diam_hi = estimate_spacing(coords, mesh.el_cp)
         h = max(h_factor * spacing, diam_hi / radius)
     cell_flat, w, aux_shape, corner_offs = build_transfer(coords, h)
+    if occ is not None and not occ.all():
+        w = np.where(occ[:, None], w, 0.0)
 
     vals = np.asarray(K_total, np.float64)[layout.storage_of_slot]
     A_sp = sp.coo_matrix(

@@ -237,6 +237,18 @@ def build_offset_layout(wp_metas, nnz: int,
             storage_of_slot[coo_slots] = n_dense + np.arange(
                 coo_rows.size, dtype=sdtype)
             n_tail = coo_rows.size
+            if n_tail % 8:
+                # round the scalar tail up to a multiple of 8 with
+                # never-written (0, 0, value 0) entries, so n_storage
+                # stays divisible by small device-mesh extents and the
+                # row-sharded layouts split evenly (rowshard.py); the
+                # zero values contribute nothing to any SpMV
+                pad = 8 - n_tail % 8
+                coo_rows = np.concatenate(
+                    [coo_rows, np.zeros(pad, np.int32)])
+                coo_cols = np.concatenate(
+                    [coo_cols, np.zeros(pad, np.int32)])
+                n_tail += pad
     else:
         coo_rows = np.zeros(0, np.int32)
         coo_cols = np.zeros(0, np.int32)

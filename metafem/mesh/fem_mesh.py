@@ -233,6 +233,17 @@ def build_wp_mesh(geo: GeoMesh, disc: ClassicalDiscretization,
     if lattice_shape is None:
         # unstructured: fall back to space-filling-curve locality order
         gid, rep = _morton_renumber(gid, rep)
+        if lattice_pad > 1 and len(rep) % lattice_pad:
+            # scale-out padding (the unstructured analog of the lattice
+            # pad-axis): append ghost control points so n_cp divides the
+            # device-mesh extent and the row-sharded solver layouts
+            # split evenly (parallel/rowshard.put_divisible).  Ghosts
+            # are untouched by any element; their DOF rows get the unit
+            # diagonal regularizer like lattice ghosts.
+            pad = lattice_pad - len(rep) % lattice_pad
+            rep = np.vstack([rep, np.full((pad, rep.shape[1]), np.nan)])
+            occupied = np.ones(len(rep), dtype=bool)
+            occupied[-pad:] = False
 
     el_cp = gid.reshape(n_el, n_itp)
 

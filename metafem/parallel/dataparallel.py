@@ -146,7 +146,11 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
                 ref[k] = jax.tree_util.tree_map(
                     lambda v: jax.device_put(jnp.asarray(v), rep), ref[k])
         out["refined"] = ref
-    for k in ("mg_mask", "auxmg_tree"):
+    # aux-space MG state and the BSR/COO tail index arrays (unstructured
+    # meshes): replicated — the tail gathers and the cloud<->lattice
+    # transfers index into (potentially resharded) vectors, and GSPMD
+    # inserts the collectives the row-sharded consumers demand
+    for k in ("mg_mask", "auxmg_tree", "coo_rows", "coo_cols"):
         if state.get(k) is not None:
             out[k] = jax.tree_util.tree_map(
                 lambda v: jax.device_put(jnp.asarray(v), rep), state[k])

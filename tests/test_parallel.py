@@ -309,3 +309,93 @@ def test_refined_rowshard_df32_mode():
     a = np.asarray(tf.df_to_f64(x_sh))
     b = np.asarray(tf.df_to_f64(x_0))
     np.testing.assert_allclose(a, b, atol=1e-8 * np.abs(b).max())
+
+
+# ---------------------------------------------------------------------------
+# unstructured scale-out: refined step + aux-space MG over the mesh
+# ---------------------------------------------------------------------------
+
+def _make_tet_thermal(nel=(6, 4, 4), lattice_pad=None, dtype=None,
+                      seed=2):
+    """Small UNSTRUCTURED tet fixture: a brick split into 5-tet cells
+    with jittered interior vertices, so the control points do NOT land
+    on a lattice (Morton fallback + ghost-cp scale-out padding) and the
+    preconditioner is the aux-space hierarchy — the pikachu production
+    path at suite size, no external mesh fixture needed."""
+    L = (1.0, 0.7, 0.7)
+    vert, conn = mf.make_brick(L, nel, shape="SIMPLEX")
+    rng = np.random.default_rng(seed)
+    h = min(L[d] / nel[d] for d in range(3))
+    interior = np.ones(len(vert), bool)
+    for d in range(3):
+        interior &= (vert[:, d] > 1e-9) & (vert[:, d] < L[d] - 1e-9)
+    vert = vert + 0.18 * h * interior[:, None] * (
+        rng.random(vert.shape) - 0.5)
+    geo = mf.construct_total_mesh(vert, conn)
+    dom = FEM_Domain(3) if dtype is None else FEM_Domain(3, dtype=dtype)
+    wp = dom.add_workpiece(geo)
+    bg = dom.add_boundary(wp, geo.boundary_facet_ids())
+    T = dom.internal_var("T")
+    s = dom.external_var("s", "CONTROLPOINT_VAR")
+    i = mf.index("i")
+    dom.assign_workpiece_weakform(
+        wp, -0.6 * Bilinear(T.d(i), T.d(i)) + Bilinear(T, s))
+    dom.assign_boundary_weakform(wp, bg, 25.0 * Bilinear(T, 293.15 - T))
+    dom.initialize_local_assembly(explicit_max_sd_order=1)
+    kw = {} if lattice_pad is None else {"lattice_pad": lattice_pad}
+    dom.mesh_classical(itp_order=2, itg_order=2, **kw)
+    dom.assemble_global_variables()
+    dom.compile()
+    mesh0 = dom.workpieces[wp].mesh
+    assert mesh0.lattice_shape is None, "fixture must be unstructured"
+    occ = mesh0.is_occupied
+    real = np.ones(mesh0.n_cp, bool) if occ is None else occ
+    Tf = np.where(real, 293.15 + 10 * rng.random(mesh0.n_cp), 0.0)
+    sf = np.where(real, 1600.0 * rng.random(mesh0.n_cp), 0.0)
+    dom.set_field(wp, "T", Tf)
+    dom.set_field(wp, "s", sf)
+    dom.refresh_fields()
+    dom.assemble_x()
+    return dom
+
+
+@pytest.mark.parametrize("smooth", ["full", "sparse"])
+def test_refined_rowshard_auxmg_tet(smooth):
+    """The unstructured production path, sharded: df32 refined step +
+    frozen aux-space MG over the 8-device mesh must converge to 1e-9
+    and match the single-device step.  The ghost-cp padding makes n_cp
+    (and with it every vector and the dense storage) divide the mesh."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(min(8, len(jax.devices())))
+    dom = _make_tet_thermal(lattice_pad=mesh.devices.size)
+    n = dom.pattern.basicfield_size
+    assert n % mesh.devices.size == 0
+    assert dom.pattern.offset_layout.n_storage % mesh.devices.size == 0
+    dom.converge_tol = 1e-9
+    dom.freeze_linear_tangent()
+    dom.freeze_refined_residual()
+    dom.setup_auxmg(smooth=smooth)
+
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+    ref = sharded["refined"]
+    assert not ref["A_hi"].sharding.is_fully_replicated
+    assert not ref["b_hi"].sharding.is_fully_replicated
+
+    kw = dict(sv_func=krylov.bicgstab, maxiter=80, max_refine=10,
+              max_pass=1, precond="auxmg")
+    step_sh = dom.make_refined_step(rowshard_mesh=mesh, **kw)
+    args = (sharded, jnp.asarray(dom.x), jnp.float64(0.0),
+            jnp.float64(1.0))
+    _assert_collectives(step_sh.lower(*args).compile().as_text(),
+                        "auxmg refined step")
+    x_sh, _, res_sh, _ = step_sh(*args)
+    assert float(res_sh) < 1e-9, float(res_sh)
+
+    step0 = dom.make_refined_step(**kw)
+    x0, _, res0, _ = step0(state, jnp.asarray(dom.x), jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res0) < 1e-9, float(res0)
+    a, b = np.asarray(x_sh), np.asarray(x0)
+    np.testing.assert_allclose(a, b, atol=1e-8 * np.abs(b).max())

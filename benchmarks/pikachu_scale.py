@@ -74,9 +74,11 @@ def main(refine=2, tol=1e-6):
         # auxmg-setup crash (device OOM / worker wedge)
         dom.save_freezes(fz)
         tick("save_freezes (pre-auxmg)")
-    if getattr(dom, "_auxmg", None) is None:
-        dom.setup_auxmg(verbose=True)
-        tick("setup_auxmg")
+    smooth = os.environ.get("METAFEM_PIKACHU_SMOOTH", "full")
+    if getattr(dom, "_auxmg", None) is None or (
+            getattr(dom._auxmg[1][0], "smooth", None) != smooth):
+        dom.setup_auxmg(smooth=smooth, verbose=True)
+        tick(f"setup_auxmg(smooth={smooth})")
         dom.save_freezes(fz)
         tick("save_freezes")
     # volume physics is fully affine (frozen into A_td): the 2.2 GB
@@ -96,20 +98,20 @@ def main(refine=2, tol=1e-6):
     sv = krylov.bicgstab
     print(f"[pikachu] inner solver: {sv.__name__} "
           f"(tuned cheb: {getattr(dom, '_auxmg_cheb', None)})", flush=True)
-    # ONE refinement per device dispatch (max_refine=1), host-looped:
-    # iterative refinement is stateless in x, so chaining single-refine
-    # calls reproduces the fused while_loop exactly — and at 1.36M DOF
-    # unstructured the fused loop is a multi-minute dispatch, which the
-    # remote-device transport does not survive (TPU worker wedge,
-    # PERFORMANCE.md).  forcing=0.3 bounds the INNER work too: the
-    # COO-tail SpMV is gather-bound (~0.3 s at 50M entries) and one
-    # Chebyshev iteration costs ~5 of them (nu=2,2 smoothing), so the
-    # default forcing's ~23-iteration solve is a ~40 s dispatch — past
-    # the worker's wedge threshold.  ~8 iterations/dispatch x more
-    # host-looped refines does the same total work in survivable pieces.
+    # Refines per device dispatch: the round-4 step was a ~14 s single
+    # refine, so refines were host-looped (max_refine=1) to stay under
+    # the remote transport's wedge threshold.  Round 5's index-stream
+    # fixes (single-stream transfers, paired-gather + row-segment df
+    # tail — PERFORMANCE.md) brought the refine to ~1-2 s, so a few
+    # fused refines per dispatch are safe again — and fusing them stops
+    # the host loop from recomputing the exact residual twice per
+    # refine (each dispatch's r0 re-derives the previous one's r2).
+    fused = int(os.environ.get("METAFEM_PIKACHU_FUSED_REFINES", 4))
+    forcing = float(os.environ.get("METAFEM_PIKACHU_FORCING", 0.3))
+    maxiter = int(os.environ.get("METAFEM_PIKACHU_MAXITER", 12))
     step = dom.make_refined_step(sv_func=sv, precond="auxmg",
-                                 maxiter=12, max_refine=1, max_pass=1,
-                                 forcing=0.3)
+                                 maxiter=maxiter, max_refine=fused,
+                                 max_pass=1, forcing=forcing)
     state = dom._runtime_state()
     x0 = tf.df_from_f64(np.asarray(dom.x, np.float64))
 

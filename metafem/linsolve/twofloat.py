@@ -206,6 +206,48 @@ def _shifted_stack(xw, offsets, n_cp):
     return jnp.stack([xp[:, R + d:R + d + n_cp] for d in offsets])
 
 
+def _tail_runs(layout: OffsetLayout):
+    """Static run structure of the sorted BSR-tail block rows: (run
+    start indices, block-row id per run, tree levels).  Cached on the
+    layout object (layouts are id-hashed static jit aux data)."""
+    cached = getattr(layout, "_tail_runs", None)
+    if cached is None:
+        rows = np.asarray(layout.coo_rows)
+        starts = np.flatnonzero(
+            np.concatenate([[True], rows[1:] != rows[:-1]]))
+        run_rows = rows[starts].astype(np.int32)
+        lens = np.diff(np.concatenate([starts, [rows.size]]))
+        levels = int(np.ceil(np.log2(max(int(lens.max()), 1)))) \
+            if lens.size else 0
+        cached = (starts.astype(np.int32), run_rows, levels)
+        layout._tail_runs = cached
+    return cached
+
+
+def df_segsum_sorted(acc: DF, rows: jnp.ndarray, n_levels: int) -> DF:
+    """Segmented reduction over SORTED segment ids by strided doubling
+    (Hillis-Steele): after level L, acc[i] = sum of the original values
+    in [i, min(run end, i + 2^L)).  Each level is one dense masked
+    df_add over the lane axis — error-free two-float arithmetic, zero
+    scatter/gather index ops.  With sorted ids, ``rows[i] == rows[i+s]``
+    exactly characterizes "no run boundary inside the window".  The run
+    sums land at the run START positions (extract with _tail_runs)."""
+    nb = acc.hi.shape[-1]
+    lead = acc.hi.shape[:-1]
+    for lvl in range(n_levels):
+        s = 1 << lvl
+        if s >= nb:
+            break
+        same = (rows[s:] == rows[:-s])
+        mask = jnp.concatenate(
+            [same, jnp.zeros(s, bool)]).astype(acc.hi.dtype)
+        z = jnp.zeros(lead + (s,), acc.hi.dtype)
+        sh_hi = jnp.concatenate([acc.hi[..., s:], z], axis=-1)
+        sh_lo = jnp.concatenate([acc.lo[..., s:], z], axis=-1)
+        acc = df_add(acc, DF(sh_hi * mask, sh_lo * mask))
+    return acc
+
+
 def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
                  coo_rows=None, coo_cols=None) -> DF:
     """y = A @ x with both the matrix values and the vector as DF pairs
@@ -282,19 +324,21 @@ def df_offset_mv(vals: DF, layout: OffsetLayout, x: DF,
             e = e + (Bh[:, j, :] * xgT_l[j][None, :]
                      + Bl[:, j, :] * xgT_h[j][None, :])
             acc = df_add(acc, DF(p, e))
-        # cross-block f64 reduction: ONE row segment_sum over [nb, b]
-        # f64 rows (nb index ops) instead of b per-component segment
-        # sums (b*nb).  Chunked so the T(8,128)-padded f64 [chunk, b]
-        # scatter operand stays a bounded transient (the unchunked
-        # [nb, b] f64 form is a 4.7 GB allocation at pikachu scale).
-        acc64T = acc.hi.astype(jnp.float64) + acc.lo.astype(jnp.float64)
-        n_chunk = max(1, -(-nb // 4_000_000))
-        csz = -(-nb // n_chunk)
-        t64b = jnp.zeros((nbr, b), jnp.float64)
-        for ck in range(n_chunk):
-            sl = slice(ck * csz, min((ck + 1) * csz, nb))
-            t64b = t64b + jax.ops.segment_sum(
-                acc64T[:, sl].T, rows[sl], num_segments=nbr)
+        # Cross-block reduction: error-free segmented TREE over the
+        # sorted block rows (df_segsum_sorted) — log2(max blocks/row)
+        # dense masked df_adds on [b, nb] lanes, ZERO scatter index ops
+        # and no per-entry emulated-f64 work (the earlier f64
+        # segment_sum forms paid ~37M emulated-f64 element ops at
+        # pikachu refine-2: measured 678 ms/mv; this path needs f64 only
+        # on the [b, n_runs] run sums).
+        starts_np, run_rows_np, n_levels = _tail_runs(lo_)
+        acc = df_segsum_sorted(acc, rows, n_levels)
+        starts = jnp.asarray(starts_np)
+        accS_hi = jnp.take(acc.hi, starts, axis=1)     # [b, n_runs]
+        accS_lo = jnp.take(acc.lo, starts, axis=1)
+        t64r = accS_hi.astype(jnp.float64) + accS_lo.astype(jnp.float64)
+        t64b = jnp.zeros((nbr, b), jnp.float64).at[
+            jnp.asarray(run_rows_np)].set(t64r.T)
         t64 = t64b.reshape(-1)[:lo_.n]
         t_hi = t64.astype(x.hi.dtype)
         t_lo = (t64 - t_hi.astype(jnp.float64)).astype(x.hi.dtype)

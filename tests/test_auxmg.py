@@ -113,6 +113,11 @@ def _solve_iters(A_or_op, b, maxiter):
 
 
 class TestAuxMG:
+    # Slow tier: the Jacobi-iteration-count comparison burns ~400 f64
+    # CPU Krylov iterations; the default tier keeps aux-MG Newton
+    # convergence coverage through TestRefinedStepUnstructured (df32 +
+    # COO tail + sparse smoother, order-1 pikachu).
+    @pytest.mark.slow
     def test_beats_jacobi_and_newton_converges(self, pikachu_domain):
         from metafem.linsolve import auxmg
 

@@ -50,6 +50,7 @@ class TestCavity:
         assert np.abs(ui - gu).max() < 0.06
         assert np.isfinite(dom.workpieces[wp].mesh.fields["p"]).all()
 
+    @pytest.mark.slow
     def test_re1000_iterative_vs_ghia(self):
         """High-Re validation through the TPU-native iterative stack
         (right-Jacobi BiCGStab(l) on the saddle-point u-p system — the

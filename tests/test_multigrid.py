@@ -172,7 +172,9 @@ def test_mg_preconditioned_solve_matches_scipy_and_is_fast():
 
 def test_mg_iteration_count_is_mesh_independent():
     counts = []
-    for nel in [(16, 8), (32, 16), (64, 32)]:
+    # (64, 32) adds ~25 s of f64 CPU work for the same h-independence
+    # conclusion the (16, 8) -> (48, 24) pair already demonstrates
+    for nel in [(16, 8), (48, 24)]:
         dom = _thermal_domain(nel=nel)
         A, residue = _tangent(dom)
         hier = multigrid.hierarchy_for_domain(dom)

@@ -359,7 +359,9 @@ def _make_tet_thermal(nel=(6, 4, 4), lattice_pad=None, dtype=None,
     return dom
 
 
-@pytest.mark.parametrize("smooth", ["full", "sparse"])
+@pytest.mark.parametrize(
+    "smooth",
+    [pytest.param("full", marks=pytest.mark.slow), "sparse"])
 def test_refined_rowshard_auxmg_tet(smooth):
     """The unstructured production path, sharded: df32 refined step +
     frozen aux-space MG over the 8-device mesh must converge to 1e-9

@@ -16,8 +16,11 @@ import j2_plasticity as j2  # noqa: E402
 
 
 class TestJ2Plasticity:
-    @pytest.mark.parametrize("gi", [0, 1, 2],
-                             ids=["isotropic", "mixed", "kinematic"])
+    @pytest.mark.parametrize(
+        "gi",
+        [pytest.param(0, marks=pytest.mark.slow), 1,
+         pytest.param(2, marks=pytest.mark.slow)],
+        ids=["isotropic", "mixed", "kinematic"])
     def test_full_cyclic_sequence(self, gi):
         """Full cyclic load path vs the analytic elongations — exercises
         first yield, hardening, elastic unloading, reverse yield and

@@ -375,41 +375,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                 "examples"))
 
 
-def test_refined_step_df32_hyperelastic_smoke():
-    """Default-tier variant of the slow full-fidelity oracle below: the
-    same df32 Neo-Hookean machinery (d(W,F) chains, Levi-Civita det,
-    log(J) through the emulated-f64 fallback) at a relaxed bar — the
-    refined step must reach 1e-4 and land within 2.5% of the analytic
-    homogeneous uniaxial response."""
-    import hyperelastic_3d as he
-
-    mu, lam, sigma = 1e6, 1e6, 4e5
-    domf, wpf, _ = he.build(e_number=1, dtype=jnp.float32)
-    mesh = domf.workpieces[wpf].mesh
-    domf.global_vars.update(mu=mu, lam=lam, tau_b=1000 * max(mu, lam))
-    domf.set_field(wpf, "Pl", np.full(mesh.n_cp, sigma))
-    domf.refresh_fields()
-    domf.assemble_x()
-    domf.converge_tol = 1e-4
-    domf.freeze_linear_tangent()
-    domf.freeze_refined_residual()
-    assert domf._refined["wp_df"] is not None      # volume-nonaffine
-    step = domf.make_refined_step(sv_func=krylov.bicgstabl, s=2,
-                                  maxiter=150, max_refine=10, max_pass=1,
-                                  precond="jacobi", residual_mode="df32")
-    x1, _, res, _ = step(domf._runtime_state(),
-                         jnp.asarray(domf.x, jnp.float64),
-                         jnp.float64(0.0), jnp.float64(1.0))
-    assert float(res) < 1e-4, float(res)
-    domf.x = np.asarray(x1)
-    domf.dessemble_x()
-    L = np.nanmax(mesh.cp_coords[:, 0])
-    right = mesh.cp_coords[:, 0] > L - 1e-9
-    d1L = domf.workpieces[wpf].mesh.fields["d1"][right].mean() / L
-    ana = he.analytic_uniaxial_nh(sigma, mu, lam)
-    assert abs(d1L - ana) / abs(ana) < 0.025
-
-
+# NOTE: no default-tier smoke for the hyperelastic df32 oracle — the
+# cost is the df-lowered d(W,F) compile, which a reduced-size variant
+# still pays (measured 175 s for a 1-element smoke vs 246 s full).  The
+# df32 volume-nonaffine machinery keeps default-tier coverage through
+# test_refined_step_df32_volume_nonlinear (k(T) volume nonlinearity)
+# and test_refined_step_df32_cavity (convection + SUPG); the Neo-Hookean
+# d(W,F)/log(J) chains themselves are covered at f64 by
+# test_hyperelastic.py.  Full-fidelity df32 oracle: slow tier below.
 @pytest.mark.slow
 def test_refined_step_df32_hyperelastic():
     """Neo-Hookean uniaxial tension (static_Neo_Hookean.jl): the df32

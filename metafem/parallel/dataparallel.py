@@ -35,7 +35,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def element_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("el"))
+    from .rowshard import _row_axes
+    return NamedSharding(mesh, P(_row_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -123,24 +124,24 @@ def shard_domain_state(state: dict, mesh: Mesh) -> dict:
         from .rowshard import shard_mg_state
         out["mg_frozen"] = shard_mg_state(state["mg_frozen"], mesh)
     if state.get("K_linear_td") is not None:
-        from .rowshard import put_divisible
+        from .rowshard import put_divisible, rowblock_sharding
         out["K_linear_td"] = put_divisible(
-            state["K_linear_td"], NamedSharding(mesh, P(None, "el")), mesh)
+            state["K_linear_td"], rowblock_sharding(mesh, 2), mesh)
     if state.get("refined") is not None:
         # the frozen refined operator: A_td stacks [L+1, n_storage] and
-        # the b/residual vectors [n] row-block over 'el' (their SpMVs /
-        # axpys then land sharded in the refined step); boundary tables,
-        # DF geometry and index arrays replicate
-        from .rowshard import put_divisible
+        # the b/residual vectors [n] row-block over the mesh's row axes
+        # (their SpMVs / axpys then land sharded in the refined step);
+        # boundary tables, DF geometry and index arrays replicate
+        from .rowshard import put_divisible, rowblock_sharding
         ref = dict(state["refined"])
         for k in ("A_hi", "A_lo"):
             if ref.get(k) is not None:
                 ref[k] = put_divisible(
-                    ref[k], NamedSharding(mesh, P(None, "el")), mesh)
+                    ref[k], rowblock_sharding(mesh, 2), mesh)
         for k in ("b_hi", "b_lo"):
             if ref.get(k) is not None:
                 ref[k] = put_divisible(
-                    ref[k], NamedSharding(mesh, P("el")), mesh)
+                    ref[k], rowblock_sharding(mesh, 1), mesh)
         for k in ("bnd_dofs", "wp", "wp_df"):
             if ref.get(k) is not None:
                 ref[k] = jax.tree_util.tree_map(

@@ -38,19 +38,33 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _row_axes(mesh: Mesh):
+    """The mesh axes a row block splits over.  1-D meshes: the 'el'
+    axis.  Multi-axis meshes (e.g. a nested ('slice', 'el') DCN x ICI
+    layout — PERFORMANCE.md round-5 design note): ALL axes, flattened
+    into one 1-D domain decomposition whose outer blocks align with the
+    leading (slower, e.g. DCN) axis — only band-boundary halos and
+    1-scalar psum combines cross the slow axis."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[-1]
+
+
 def rowblock_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the LAST axis (rows of a vector, flat storage of K, or the
-    trailing storage axis of the [L+1, n_storage] stacks) over 'el'."""
-    return NamedSharding(mesh, P(*((None,) * (ndim - 1) + ("el",))))
+    trailing storage axis of the [L+1, n_storage] stacks) over the
+    mesh's row axes."""
+    return NamedSharding(mesh, P(*((None,) * (ndim - 1)
+                                   + (_row_axes(mesh),))))
 
 
 def lattice_sharding(mesh: Mesh, ndim: int, lead: int = 1) -> NamedSharding:
-    """Shard the FIRST spatial axis of a lattice-shaped array over 'el'
-    (``lead`` leading channel axes stay replicated): [C, *S] smoother
-    diagonals, [C, C, *S] channel blocks, [1, *S] masks.  A 1-D domain
-    decomposition of the lattice — the stencil smoother's pad+static-
-    slice shifts become GSPMD halo exchanges over the mesh axis."""
-    spec = (None,) * lead + ("el",) + (None,) * (ndim - lead - 1)
+    """Shard the FIRST spatial axis of a lattice-shaped array over the
+    row axes (``lead`` leading channel axes stay replicated): [C, *S]
+    smoother diagonals, [C, C, *S] channel blocks, [1, *S] masks.  A
+    1-D domain decomposition of the lattice — the stencil smoother's
+    pad+static-slice shifts become GSPMD halo exchanges over the mesh
+    axes."""
+    spec = (None,) * lead + (_row_axes(mesh),) + (None,) * (ndim - lead - 1)
     return NamedSharding(mesh, P(*spec))
 
 

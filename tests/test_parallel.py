@@ -401,3 +401,44 @@ def test_refined_rowshard_auxmg_tet(smooth):
     assert float(res0) < 1e-9, float(res0)
     a, b = np.asarray(x_sh), np.asarray(x0)
     np.testing.assert_allclose(a, b, atol=1e-8 * np.abs(b).max())
+
+
+def test_refined_rowshard_nested_slice_mesh():
+    """Two-slice (DCN x ICI) layout on paper, exercised on the virtual
+    CPU mesh: a nested ('slice', 'el') 2x4 mesh whose flattened axes
+    row-shard the refined step (PERFORMANCE.md round-5 design note).
+    Must converge and match the single-device step — GSPMD derives the
+    hierarchical collectives from the nested sharding alone."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("slice", "el"))
+    dom = _make_strip((72, 32), lattice_pad=8)
+    dom.converge_tol = 1e-9
+    dom.freeze_linear_tangent()
+    dom.setup_mg(tune=False)
+    dom.freeze_refined_residual()
+
+    state = dom._runtime_state()
+    sharded = shard_domain_state(state, mesh)
+    ref = sharded["refined"]
+    assert not ref["A_hi"].sharding.is_fully_replicated
+    assert len(ref["b_hi"].sharding.device_set) == 8
+
+    kw = dict(sv_func=krylov.bicgstab, maxiter=100, max_refine=10,
+              max_pass=1, precond="mg")
+    step_sh = dom.make_refined_step(rowshard_mesh=mesh, **kw)
+    x_rep = jax.device_put(jnp.asarray(dom.x), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    x_sh, _, res_sh, _ = step_sh(sharded, x_rep, jnp.float64(0.0),
+                                 jnp.float64(1.0))
+    assert float(res_sh) < 1e-9
+
+    step0 = dom.make_refined_step(**kw)
+    x0, _, res0, _ = step0(state, jnp.asarray(dom.x), jnp.float64(0.0),
+                           jnp.float64(1.0))
+    assert float(res0) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.asarray(x0),
+        atol=1e-8 * np.abs(np.asarray(x0)).max())

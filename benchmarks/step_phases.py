@@ -220,19 +220,22 @@ def main(which="2d", size=0):
     # step.  single-dispatch minus chained = transport/dispatch latency
     # (a per-READBACK cost, not a per-step cost).  Hoisting cannot fake
     # this: every step's input depends on the previous step's output.
-    def step_chain(carry, _c):
+    def step_chain(carry, st):
         x1, dt1 = carry
         # dt data-depends on the previous step -> K_params, the frozen-
         # tangent combine, and the predictor are all per-iteration work
-        # (nothing state-only for XLA to hoist out of the chain)
-        x2, _, res, _ = step(state, x1, jnp.float64(0.0), dt1)
+        # (nothing state-only for XLA to hoist out of the chain).  The
+        # state rides consts: closed-over state arrays bake into the
+        # 6x-inlined chain as HLO constants and overflow the remote
+        # compile transport (HTTP 413).
+        x2, _, res, _ = step(st, x1, jnp.float64(0.0), dt1)
         fac = (1.0 + 1e-4
                * (1.0 + res / (1.0 + res))).astype(jnp.float32)
         dt2 = 1.0 + 1e-9 * res
         return (tf.DF(x2.hi * fac, x2.lo), dt2)
 
     chain_sec = chain_time(step_chain, (x_c, jnp.float64(1.0)), n=6,
-                           consts=None)
+                           consts=state)
     chain_ms = chain_sec * 1e3
     tick(f"chained step: {chain_ms:.0f} ms/step "
          f"(dispatch+readback overhead {step_ms - chain_ms:.0f} ms)")

@@ -285,6 +285,46 @@ import os as _os
 UNROLL_MAX_SEGMENTS = int(_os.environ.get("METAFEM_MV_UNROLL_MAX", 300))
 
 
+def tail_runs(layout: "OffsetLayout"):
+    """Static run structure of the sorted tail block rows: (run start
+    indices int32, block-row id per run int32, tree levels).  Cached on
+    the layout (layouts are id-hashed static jit aux data).  Consumed
+    by the segmented-tree reductions here and in twofloat.py."""
+    cached = getattr(layout, "_tail_runs", None)
+    if cached is None:
+        rows = np.asarray(layout.coo_rows)
+        starts = np.flatnonzero(
+            np.concatenate([[True], rows[1:] != rows[:-1]]))
+        run_rows = rows[starts].astype(np.int32)
+        lens = np.diff(np.concatenate([starts, [rows.size]]))
+        levels = int(np.ceil(np.log2(max(int(lens.max()), 1)))) \
+            if lens.size else 0
+        cached = (starts.astype(np.int32), run_rows, levels)
+        layout._tail_runs = cached
+    return cached
+
+
+def _seg_tree_sum(vals: jnp.ndarray, rows: jnp.ndarray,
+                  n_levels: int) -> jnp.ndarray:
+    """Segmented sum over SORTED segment ids by strided doubling
+    (Hillis-Steele) on the lane axis — log2(max run) dense masked adds,
+    zero scatter index ops.  Run sums land at run START positions.
+    Deterministic (fixed tree order); see twofloat.df_segsum_sorted for
+    the error-free two-float variant."""
+    nb = vals.shape[-1]
+    for lvl in range(n_levels):
+        s = 1 << lvl
+        if s >= nb:
+            break
+        same = (rows[s:] == rows[:-s])
+        mask = jnp.concatenate(
+            [same, jnp.zeros(s, bool)]).astype(vals.dtype)
+        z = jnp.zeros(vals.shape[:-1] + (s,), vals.dtype)
+        sh = jnp.concatenate([vals[..., s:], z], axis=-1)
+        vals = vals + sh * mask
+    return vals
+
+
 def _shift_mul(seg_vals, x_col, d):
     """y_seg[r] = seg_vals[r] * x_col[r + d] with zero out-of-range."""
     n = x_col.shape[0]
@@ -330,19 +370,24 @@ class OffsetMatrix:
         return self.layout.n
 
     def _blk_tail_mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """BSR tail: y += sum_k B[k] @ x_block[bcol[k]] scattered to
-        block rows.  One gather index moves blk_b contiguous x values;
-        the contraction runs over the component-major [b, b, nb] view
-        (nb in lanes, pad-free) and the cross-block reduction is ONE
-        segment_sum over the [nb, b] contribs."""
+        """BSR tail: y += sum_k B[k] @ x_block[bcol[k]].  One gather
+        index moves blk_b contiguous x values; the contraction runs
+        over the component-major [b, b, nb] view (nb in lanes,
+        pad-free) and the cross-block reduction is a segmented TREE
+        over the sorted block rows (_seg_tree_sum) — log2(max
+        blocks/row) dense masked adds instead of an nb-index
+        scatter-add."""
         lo = self.layout
         b, nbr = lo.blk_b, lo.n_block_rows
         B3 = self.vals[lo.n_dense:].reshape(b, b, lo.n_coo)
         xp = jnp.pad(x, (0, nbr * b - lo.n)).reshape(nbr, b)
         xg = xp[self.coo_cols]                       # [nb, b] row gather
         contribT = jnp.einsum("ijk,jk->ik", B3, xg.T)    # [b, nb]
-        yb = jax.ops.segment_sum(contribT.T, self.coo_rows,
-                                 num_segments=nbr)
+        starts_np, run_rows_np, n_levels = tail_runs(lo)
+        summed = _seg_tree_sum(contribT, self.coo_rows, n_levels)
+        runs = jnp.take(summed, jnp.asarray(starts_np), axis=1)
+        yb = jnp.zeros((nbr, b), x.dtype).at[
+            jnp.asarray(run_rows_np)].set(runs.T)
         return yb.reshape(-1)[:lo.n]
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -206,22 +206,7 @@ def _shifted_stack(xw, offsets, n_cp):
     return jnp.stack([xp[:, R + d:R + d + n_cp] for d in offsets])
 
 
-def _tail_runs(layout: OffsetLayout):
-    """Static run structure of the sorted BSR-tail block rows: (run
-    start indices, block-row id per run, tree levels).  Cached on the
-    layout object (layouts are id-hashed static jit aux data)."""
-    cached = getattr(layout, "_tail_runs", None)
-    if cached is None:
-        rows = np.asarray(layout.coo_rows)
-        starts = np.flatnonzero(
-            np.concatenate([[True], rows[1:] != rows[:-1]]))
-        run_rows = rows[starts].astype(np.int32)
-        lens = np.diff(np.concatenate([starts, [rows.size]]))
-        levels = int(np.ceil(np.log2(max(int(lens.max()), 1)))) \
-            if lens.size else 0
-        cached = (starts.astype(np.int32), run_rows, levels)
-        layout._tail_runs = cached
-    return cached
+from .block_offset import tail_runs as _tail_runs  # shared run cache
 
 
 def df_segsum_sorted(acc: DF, rows: jnp.ndarray, n_levels: int) -> DF:

@@ -98,8 +98,10 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2, nu1=2, nu2=2):
     sv = krylov.chebyshev if cheb else krylov.bicgstab
     print(f"[brick3d] inner solver: {sv.__name__}", flush=True)
     state = dom._runtime_state()
+    static_nl = os.environ.get("METAFEM_3D_STATIC_NL", "1") == "1"
     step = dom.make_refined_step(sv_func=sv, maxiter=60, max_refine=10,
-                                 max_pass=1, forcing=forcing)
+                                 max_pass=1, forcing=forcing,
+                                 static_nl_tangent=static_nl)
 
     def timed(eps):
         x1 = tf.DF(x_c.hi * np.float32(1.0 + eps), x_c.lo)
@@ -116,15 +118,64 @@ def main(nel_side=56, tol=1e-6, forcing=1e-2, nu1=2, nu2=2):
         print(f"[brick3d] warm step {dt*1e3:.0f} ms  res={r:.2e} "
               f"refines={it}", flush=True)
     dt = float(np.median([t for t, _, _ in results]))
+
+    # chained data-dependent steps: the device step without the remote
+    # transport's dispatch+readback round trip (~115 ms at this size —
+    # see step_phases.py / PERFORMANCE.md round-5 2D table)
+    import functools
+
+    def step_chain(carry, st):
+        x1, dt1 = carry
+        x2, _, res, _ = step(st, x1, jnp.float64(0.0), dt1)
+        fac = (1.0 + 1e-4 * (1.0 + res / (1.0 + res))).astype(
+            jnp.float32)
+        return (tf.DF(x2.hi * fac, x2.lo), 1.0 + 1e-9 * res)
+
+    def chain(carry, st, k):
+        for _ in range(k):
+            carry = step_chain(carry, st)
+        return carry
+
+    chained_ms = None
+    try:
+        c_long = jax.jit(functools.partial(chain, k=6))
+        c_short = jax.jit(functools.partial(chain, k=3))
+
+        def run(c, carry):
+            t1 = time.perf_counter()
+            y = c(carry, state)
+            float(y[0].hi.reshape(-1)[0])
+            return time.perf_counter() - t1
+
+        run(c_long, (x_c, jnp.float64(1.0)))
+        run(c_short, (x_c, jnp.float64(1.0)))
+        tick("chain compile+warm")
+        best = np.inf
+        for rep in range(2):
+            x_r = tf.DF(x_c.hi * np.float32(1.0 + 1e-6 * (rep + 1)),
+                        x_c.lo)
+            jax.block_until_ready(x_r)
+            best = min(best, (run(c_long, (x_r, jnp.float64(1.0)))
+                              - run(c_short, (x_r, jnp.float64(1.0))))
+                       / 3)
+        chained_ms = best * 1e3
+        tick(f"chained step {chained_ms:.0f} ms")
+    except Exception as e:
+        print(f"[brick3d] chained measurement failed: {e}", flush=True)
+
     record = {"metric": "brick3d_newton_step_tol1e-6",
               "n_dof": n, "step_ms": dt * 1e3,
+              "chained_step_ms": chained_ms,
               "dofs_per_sec": n / dt,
+              "dofs_per_sec_device": (n / (chained_ms / 1e3)
+                                      if chained_ms else None),
               "residual": results[-1][1],
               "inner_solver": sv.__name__,
               "cheb_interval": (list(map(float, cheb[0])) if cheb
                                 else None),
               "cheb_rate": (float(cheb[1]) if cheb else None),
               "forcing": forcing, "nu": [nu1, nu2],
+              "static_nl_tangent": static_nl,
               "step_refines": [it for _, _, it in results],
               "mg_shapes": [list(s) for s in
                             multigrid.hierarchy_for_domain(dom).shapes]}

@@ -245,6 +245,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                       forcing: float = 1e-2, stall_ratio: float = 0.9,
                       residual_mode: str = None, rowshard_mesh=None,
                       inner_operator: str = "exact",
+                      static_nl_tangent: bool = False,
                       **sv_kwargs):
     """Newton / mixed-precision-iterative-refinement step with **exact
     residuals** and working-precision (f32) tangent solves.
@@ -485,7 +486,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             b64 = ref["b_hi"].astype(f64) + ref["b_lo"].astype(f64)
             K_lin = con(combine_klin(state, K_params64.astype(sdtype)))
 
-            def residual_and_knl(dx):
+            def residual_and_knl(dx, with_grad=True):
                 xs = x_star_of(x, dx, alpha)                    # f64
                 r = b64
                 for td in range(levels):
@@ -495,7 +496,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                         "K_params": K_params64,
                         "t": t.astype(f64), "dt": dt64}
                 r_nl, K_nl = run_phase(st64, "nonaff_nl")
-                return con(r + r_nl), con(K_nl)
+                return con(r + r_nl), (con(K_nl) if with_grad else None)
 
             dx0 = initialize_dx(x, dt64, gamma)
             r0, K0 = residual_and_knl(dx0)
@@ -514,7 +515,10 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                                   inner_tol(res_in.astype(sdtype),
                                             sdtype))
                 dx = dx + beta[:, None] * (-delta.astype(f64))[None, :]
-                r64b, K_nlb = residual_and_knl(dx)
+                r64b, K_nlb = residual_and_knl(
+                    dx, with_grad=not static_nl_tangent)
+                if K_nlb is None:
+                    K_nlb = K_nl
                 res2 = jnp.linalg.norm(r64b) / sqrt_n
                 return dx, r64b, K_nlb, res2, res_in, it + 1
 
@@ -575,7 +579,7 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
         dt_hi = dt64.astype(f32)
         dtp = tf.DF(dt_hi, (dt64 - dt_hi.astype(f64)).astype(f32))
 
-        def residual_and_knl(dxdf):
+        def residual_and_knl(dxdf, with_grad=True):
             xs = tf.df_add(xdf, tf.df_scale(dxdf, alpha32))
             r = b_df
             for td in range(levels):
@@ -617,7 +621,14 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
                 r = tf.DF(r.hi.at[touched].set(t_hi),
                           r.lo.at[touched].set(t_lo))
             # nonaffine tangent blocks in plain f32 (tangent accuracy
-            # only affects the convergence rate, not the answer)
+            # only affects the convergence rate, not the answer).  With
+            # static_nl_tangent the blocks are assembled ONCE per step
+            # (at the predictor) and frozen across refines — the drift
+            # over a warm step's ~1e-4 perturbation is noise next to the
+            # inexact-Newton forcing, and the assembly is ~36 ms/call at
+            # 1.44M-DOF 3D (boundary gather maps, 19% of the step).
+            if not with_grad:
+                return con_df(r), None
             st32 = {**state, "x_star": xs.hi,
                     "K_params": K_params64.astype(f32)}
             _, K_nl = run_phase(st32, "nl_grad")
@@ -641,7 +652,10 @@ def make_refined_step(domain, sv_func: Callable = krylov.bicgstab,
             delta = solve_f32(state, A, r_hi, inner_tol(res_in, f32))
             dxdf = tf.df_add_f32(tf.DF(dx_hi, dx_lo),
                                  -beta32[:, None] * delta[None, :])
-            r2, K2 = residual_and_knl(dxdf)
+            r2, K2 = residual_and_knl(
+                dxdf, with_grad=not static_nl_tangent)
+            if K2 is None:
+                K2 = K_nl
             res2 = norm_n(r2)
             return (dxdf.hi, dxdf.lo, r2.hi, r2.lo, K2, res2, res_in,
                     it + 1)

@@ -669,3 +669,38 @@ def test_refined_step_df32_j2_plasticity():
                                np.asarray(dom64.user_state["ep"]),
                                atol=1e-6)
     assert np.abs(domf.user_state["ep"]).max() > 1e-5   # actually yielded
+
+
+def test_refined_step_static_nl_tangent():
+    """static_nl_tangent=True freezes the nonaffine tangent blocks at
+    the predictor across refines (the 3D production lever — the
+    boundary nl_grad assembly is ~19% of the 1.44M-DOF step).  It is a
+    WARM-STEPPING option: the predictor tangent must be representative
+    (a cold start from 323 K against a ~1100 K root stalls — measured
+    1.7e-7 — because the frozen far-from-root tangent converges only
+    linearly into the stall guard).  Production pattern: converge once
+    normally, then warm re-steps from perturbed states must reach the
+    same tolerance and root with the frozen-per-step tangent."""
+    dom = _radiating_thermal()
+    dom.converge_tol = 1e-11
+    dom.freeze_linear_tangent()
+    dom.setup_mg()
+    dom.freeze_refined_residual()
+    state = dom._runtime_state()
+
+    kw = dict(sv_func=krylov.bicgstab, maxiter=60, max_refine=16)
+    x_c, _, res_c, _ = dom.make_refined_step(**kw)(
+        state, dom.x, jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res_c) < 1e-11
+
+    x_warm = x_c * (1.0 + 1e-4)
+    x_s, _, res_s, _ = dom.make_refined_step(
+        static_nl_tangent=True, **kw)(state, x_warm, jnp.float64(0.0),
+                                      jnp.float64(1.0))
+    assert float(res_s) < 1e-11, float(res_s)
+    x_0, _, res_0, _ = dom.make_refined_step(**kw)(
+        state, x_warm, jnp.float64(0.0), jnp.float64(1.0))
+    assert float(res_0) < 1e-11
+    scale = np.abs(np.asarray(x_0)).max()
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_0),
+                               atol=1e-10 * scale)

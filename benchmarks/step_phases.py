@@ -334,6 +334,23 @@ def main(which="2d", size=0):
         phases["nl_grad"] = 0.0
     tick("nl_grad chain")
 
+    # df solution-carry arithmetic: per refine the step runs the
+    # predictor/xs construction (df_scale + df_add), the dx update
+    # (df_add_f32) and the final x+dx — ~6 full-vector two-float passes
+    # this probe chains in one representative sequence
+    def df_carry(xhi, _c):
+        xp = tf.DF(jnp.broadcast_to(xhi, (L + 1, n)),
+                   jnp.zeros((L + 1, n), xhi.dtype))
+        al = jnp.ones((L + 1, 1), jnp.float32)
+        xs = tf.df_add(xp, tf.df_scale(xp, al))          # xs = x + a*dx
+        dx2 = tf.df_add_f32(xp, 0.5 * xs.hi)             # dx update
+        xn = tf.df_add(xp, dx2)                          # x + dx
+        y = xn.hi[0]
+        return y / jnp.linalg.norm(y)
+
+    phases["df_carry"] = chain_time(df_carry, v0, n=10, consts=())
+    tick("df_carry chain")
+
     # per-refine tangent combine: K = sum_td K_params[td] * K_td + ghost
     # (reads the whole [L+1, n_storage] stack — pure HBM traffic)
     def k_combine(xs, c):
@@ -374,7 +391,7 @@ def main(which="2d", size=0):
     calls = {"A.mv": refines, "vcycle": refines,
              f"cheb_solve({n_cheb})": refines,
              "df_residual": refines + 1, "nl_grad": refines + 1,
-             "k_combine": refines}
+             "df_carry": refines + 1, "k_combine": refines}
     # reconcile against the CHAINED (device-only) step: the dispatch/
     # readback round trip is a per-readback transport cost, not device
     # work — it gets its own line instead of polluting "unaccounted"

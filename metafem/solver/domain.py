@@ -952,8 +952,14 @@ class FEM_Domain:
                 val = dict(val)
                 val["wp"] = [
                     {**w, "el": "__state_el__"}
-                    if w.get("el") is not None else w
+                    if w.get("el") is not None else dict(w)
                     for w in val["wp"]]
+                # the f64 field columns are exact casts of the live mesh
+                # fields (same validity contract) — store a sentinel and
+                # rebuild on load instead of ~10 MB/field of pickle
+                for w in val["wp"]:
+                    if isinstance(w.get("fields"), dict):
+                        w["fields"] = "__mesh_fields64__"
             blob[name] = to_np(val)
         # layout fingerprint: frozen arrays are meaningless under a
         # different storage layout (e.g. after the Morton renumbering or
@@ -994,6 +1000,7 @@ class FEM_Domain:
 
         for name, val in blob.items():
             attach = []
+            refields = []
             if name == "_refined" and isinstance(val, dict) \
                     and val.get("wp") is not None:
                 # re-attach the live state's volume tables where
@@ -1008,12 +1015,21 @@ class FEM_Domain:
                 val = dict(val)
                 attach = [i for i, w in enumerate(val["wp"])
                           if w.get("el") is not None]
+                refields = [i for i, w in enumerate(val["wp"])
+                            if w.get("fields") == "__mesh_fields64__"]
                 val["wp"] = [
-                    {**w, "el": None} if w.get("el") is not None else w
-                    for w in val["wp"]]
+                    {**w, "el": None} if w.get("el") is not None else
+                    dict(w) for w in val["wp"]]
+                for i in refields:
+                    val["wp"][i]["fields"] = None
             val = to_dev(val)
             for i in attach:
                 val["wp"][i]["el"] = self.state["wp"][i]["el"]
+            for i in refields:
+                val["wp"][i]["fields"] = {
+                    fname: jnp.asarray(np.asarray(col), jnp.float64)
+                    for fname, col in
+                    self.workpieces[i].mesh.fields.items()}
             setattr(self, name, val)
 
     def free_volume_tables(self) -> None:
